@@ -1,0 +1,123 @@
+"""Dataclass configuration for the whole framework.
+
+The reference uses per-script argparse (e.g. train_effocr_recognizer.py:185-242,
+infer_effocr_onnx_multi.py:420-458) plus an implicit artifact-directory contract
+(infer_effocr_onnx_multi.py:401-419).  Here every subsystem is configured by a
+single typed dataclass tree; CLIs construct these from flags.  The artifact
+directory contract (enc_best / ref index / ref.txt / class_map.json) is kept.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+# ImageNet normalization (timm IMAGENET_DEFAULT_MEAN/STD, used by every
+# reference transform: utils/datasets_utils.py:10-26,147-172).
+IMAGENET_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+IMAGENET_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Recognizer encoder (reference: models/encoders.py AutoEncoderFactory)."""
+
+    arch: str = "convnext_tiny"       # see effocr_tpu.models.factory registry
+    image_size: int = 224             # utils/datasets_utils.py:166 Resize(224)
+    embed_dim: Optional[int] = None   # None -> architecture's native width
+    num_classes: Optional[int] = None # not None -> FFNN classifier head
+                                      # (train_effocr_recognizer.py:230-231)
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class LocalizerConfig:
+    """Character/word detector (reference: YOLOv5-s, onnx_engines/localizer_engine.py)."""
+
+    arch: str = "yolov5s"
+    input_size: int = 640             # localizer_engine.py:17 input_shape
+    num_classes: int = 2              # char/word (train_effocr_localizer_d2.py:191-192)
+    conf_thresh: float = 0.35         # infer_effocr_onnx_multi.py:443
+    iou_thresh: float = 0.01          # infer_effocr_onnx_multi.py:441
+    max_det: int = 1000               # localizer_engine.py:62 max_det=1000
+    max_nms: int = 4096               # fixed-shape stand-in for max_nms=30000
+                                      # (localizer_engine.py:201); padded top-K
+    class_agnostic: bool = False      # per-class NMS via class offset
+                                      # (localizer_engine.py:260-261)
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end inference pipeline (reference: infer_effocr_onnx_multi.py:227)."""
+
+    lang: str = "en"                  # {"en", "jp"}
+    vertical: bool = False            # --vertical flag
+    localizer: LocalizerConfig = field(default_factory=LocalizerConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    line_batch: int = 16              # lines per detector step
+    crop_batch: int = 512             # crops per recognizer step (ref pads to
+                                      # 64: infer_effocr_onnx_multi.py:143-158)
+    max_chars_per_line: int = 256     # fixed-shape cap on per-line detections
+    max_words_per_line: int = 64
+    anchor_margin: Optional[float] = None   # en_postprocess hyperparameter
+    anchor_multiplier: float = 4.0
+    spell_check: bool = False
+    # "letterbox": crops cut on-device from the 640-letterboxed line (fully
+    # fused, fastest).  "original": crops cut host-side from the original
+    # resolution image, byte-matching reference semantics
+    # (infer_effocr_onnx_multi.py:307-318).
+    crop_source: str = "letterbox"
+    knn_k: int = 1
+
+
+@dataclass(frozen=True)
+class RecognizerTrainConfig:
+    """Recognizer training (reference: train_effocr_recognizer.py)."""
+
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    batch_size: int = 128             # :196
+    lr: float = 2e-6                  # :198
+    weight_decay: float = 5e-4        # :200
+    num_epochs: int = 5               # :202
+    temperature: float = 0.1          # SupCon temp :204
+    m_per_class: int = 4              # :208
+    num_passes: int = 1               # :238
+    lang: str = "en"
+    finetune: bool = False            # train only on paired crops :218
+    pretrain: bool = False            # train only on renders :220
+    high_blur: bool = False           # :222
+    no_aug: bool = False              # :240
+    hns_txt_path: Optional[str] = None
+    infer_hardneg_k: int = 8          # :228
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class LocalizerTrainConfig:
+    """Localizer training (reference: train_effocr_localizer_d2.py)."""
+
+    localizer: LocalizerConfig = field(default_factory=LocalizerConfig)
+    batch_size: int = 16
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    warmup_steps: int = 500
+    num_epochs: int = 100
+    eval_period_epochs: int = 1       # EvalHook cadence (:180-184)
+    box_gain: float = 0.05            # YOLOv5 loss gains
+    obj_gain: float = 1.0
+    cls_gain: float = 0.5
+    anchor_match_thresh: float = 4.0  # wh-ratio anchor matching
+    seed: int = 0
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2)
+
+
+def replace(cfg, **kwargs):
+    return dataclasses.replace(cfg, **kwargs)

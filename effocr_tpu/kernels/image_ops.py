@@ -1,0 +1,143 @@
+"""Image preprocessing ops: letterbox, normalize, median-pad square transform.
+
+Reference semantics being matched:
+
+- letterbox: resize keeping aspect, pad to (640,640) with gray 114
+  (onnx_engines/localizer_engine.py:107-138, auto=False scaleup=True).
+- paired/char transform: MedianPad(override=white) -> ToTensor ->
+  Resize(224,224) bilinear -> ImageNet normalize
+  (utils/datasets_utils.py:69-90,166-172).  MedianPad pads only right/bottom
+  to a square; override white is what every call site uses (:159,168); the
+  true median-of-border path is provided as an option.
+
+Host variants (numpy/cv2) are bit-faithful to the reference for dataset
+preparation; device variants (jnp) are the fused XLA path used in the
+inference pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from effocr_tpu.core.config import IMAGENET_MEAN, IMAGENET_STD
+
+
+# ---------------------------------------------------------------------------
+# letterbox
+# ---------------------------------------------------------------------------
+
+def letterbox_params(
+    h: int, w: int, new_shape: Tuple[int, int] = (640, 640), scaleup: bool = True
+) -> Tuple[float, Tuple[int, int], Tuple[int, int, int, int]]:
+    """Compute (ratio, (new_w, new_h), (top, bottom, left, right)) padding.
+
+    Mirrors localizer_engine.py:107-138 with auto=False, scaleFill=False.
+    """
+    r = min(new_shape[0] / h, new_shape[1] / w)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_unpad = int(round(w * r)), int(round(h * r))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    dw /= 2
+    dh /= 2
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    return r, new_unpad, (top, bottom, left, right)
+
+
+def letterbox_host(
+    im: np.ndarray,
+    new_shape: Tuple[int, int] = (640, 640),
+    color: int = 114,
+    scaleup: bool = True,
+) -> Tuple[np.ndarray, float, Tuple[float, float]]:
+    """Host letterbox (cv2), reference-exact. im: HWC uint8 RGB."""
+    import cv2
+
+    h, w = im.shape[:2]
+    r, new_unpad, (top, bottom, left, right) = letterbox_params(
+        h, w, new_shape, scaleup
+    )
+    if (w, h) != new_unpad:
+        im = cv2.resize(im, new_unpad, interpolation=cv2.INTER_LINEAR)
+    im = cv2.copyMakeBorder(
+        im, top, bottom, left, right, cv2.BORDER_CONSTANT,
+        value=(color, color, color),
+    )
+    dw = (new_shape[1] - new_unpad[0]) / 2
+    dh = (new_shape[0] - new_unpad[1]) / 2
+    return im, r, (dw, dh)
+
+
+# ---------------------------------------------------------------------------
+# device-side resize / normalize
+# ---------------------------------------------------------------------------
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize (align_corners=False), matching T.Resize on tensors.
+
+    x: [..., H, W, C] float.
+    """
+    shape = x.shape[:-3] + (out_h, out_w, x.shape[-1])
+    return jax.image.resize(x, shape, method="linear", antialias=False)
+
+
+def normalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
+    """x in [0,1] NHWC -> ImageNet-normalized."""
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
+    return (x - mean) / std
+
+
+def unnormalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
+    return x * std + mean
+
+
+# ---------------------------------------------------------------------------
+# MedianPad square + resize + normalize (the "paired transform")
+# ---------------------------------------------------------------------------
+
+def _median_border_color(img: np.ndarray) -> Tuple[int, ...]:
+    """Median of the 4 border rows/cols (utils/datasets_utils.py:83-88)."""
+    h, w = img.shape[:2]
+    rightb, leftb = img[:, w - 1, :], img[:, 0, :]
+    topb, bottomb = img[0, :, :], img[h - 1, :, :]
+    border = np.concatenate([rightb, leftb, topb, bottomb], axis=0)
+    return tuple(int(v) for v in np.median(border, axis=0))
+
+
+def median_pad_square(
+    img: np.ndarray, override: Optional[Tuple[int, int, int]] = (255, 255, 255)
+) -> np.ndarray:
+    """Pad right/bottom to a square with override (or median-border) color.
+
+    Host (numpy) reference-exact implementation of MedianPad
+    (utils/datasets_utils.py:69-90): content stays at the top-left.
+    """
+    h, w = img.shape[:2]
+    side = max(h, w)
+    fill = override if override is not None else _median_border_color(img)
+    out = np.empty((side, side, img.shape[2]), dtype=img.dtype)
+    out[...] = np.asarray(fill, dtype=img.dtype)
+    out[:h, :w] = img
+    return out
+
+
+def paired_transform_host(img: np.ndarray, size: int = 224) -> np.ndarray:
+    """Host version of create_paired_transform (utils/datasets_utils.py:166-172).
+
+    img: HWC uint8 RGB crop -> [size,size,3] float32 ImageNet-normalized.
+    Uses the same op order as the reference: pad-to-square (white), scale to
+    [0,1], bilinear resize without antialias, normalize.
+    """
+    sq = median_pad_square(img).astype(np.float32) / 255.0
+    t = jax.image.resize(
+        jnp.asarray(sq), (size, size, 3), method="linear", antialias=False
+    )
+    return np.asarray(normalize_imagenet(t), dtype=np.float32)
