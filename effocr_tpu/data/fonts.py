@@ -1,0 +1,197 @@
+"""Font glyph rendering: builds the prototype/render half of the recognizer
+dataset.
+
+Behavioral parity with format_effocr_recognizer_dataset.py:
+- draw_single_char (:131-171): draw on a 4x canvas, crop to ink bbox with
+  fractional padding, invert to dark-on-white, pad right/bottom to square
+  with white, resize to canvas_size.
+- draw_single_char_ascender (:174-185): English variant that keeps the full
+  ascender/descender vertical metric (crop x to ink, y from 0 to advance
+  height), so 'a' and 'A' render at different relative heights — this is what
+  makes the case-repair postprocess possible.
+- get_unicode_coverage_from_ttf (:188-192), filter_recurring_hash (:195-205)
+  (tofu/duplicate-glyph removal), render_chars (:208-239), paired_chars
+  (:242-260) with the load-bearing PAIRED_ filename prefix.
+
+Uses modern Pillow APIs (textbbox/getbbox; LANCZOS) — the reference's
+font.getsize/Image.ANTIALIAS are removed upstream.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from glob import glob
+from itertools import chain
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont, ImageOps
+
+
+def get_unicode_coverage_from_ttf(ttf_path: str) -> Tuple[List[int], List[str]]:
+    """Decimal codepoints + chars covered by a TTF/OTF cmap."""
+    from fontTools.ttLib import TTFont
+
+    with TTFont(
+        ttf_path, 0, allowVID=0, ignoreDecompileErrors=True, fontNumber=-1
+    ) as ttf:
+        codepoints = sorted(
+            set(
+                chain.from_iterable(
+                    table.cmap.keys() for table in ttf["cmap"].tables
+                )
+            )
+        )
+    return codepoints, [chr(c) for c in codepoints]
+
+
+def draw_single_char(
+    ch: str, font: ImageFont.FreeTypeFont, canvas_size: int, padding: float = 0.0
+) -> Optional[Image.Image]:
+    """Centered glyph -> ink-cropped, inverted, white-square, canvas_size²."""
+    img = Image.new("L", (canvas_size * 4, canvas_size * 4), 0)
+    c_w, c_h = img.size
+    draw = ImageDraw.Draw(img)
+    try:
+        draw.text((c_w // 2, c_h // 2), ch, 255, font=font, anchor="mm")
+    except OSError:
+        return None
+    bbox = img.getbbox()
+    if bbox is None:
+        return None
+    l, u, r, d = bbox
+    if l >= r or u >= d:
+        return None
+    xpad, ypad = int(padding * (r - l)), int(padding * (d - u))
+    arr = np.asarray(img)
+    arr = arr[max(u - ypad, 0) : d + ypad, max(l - xpad, 0) : r + xpad]
+    arr = 255 - arr
+    h, w = arr.shape
+    side = max(h, w)
+    sq = np.full((side, side), 255, dtype=np.uint8)
+    # reference pads the short sides symmetrically (ConstantPad2d with
+    # pad_len = |w-h|/2 on both ends of the short axis)
+    if w > h:
+        off = (side - h) // 2
+        sq[off : off + h, :w] = arr
+    else:
+        off = (side - w) // 2
+        sq[:h, off : off + w] = arr
+    out = Image.fromarray(sq)
+    return out.resize((canvas_size, canvas_size), Image.LANCZOS)
+
+
+def draw_single_char_ascender(
+    ch: str, font: ImageFont.FreeTypeFont, canvas_size: int, padding: float = 0.0
+) -> Optional[Image.Image]:
+    """English draw: x cropped to ink, y spans the font's line height, so
+    relative glyph height survives (format_effocr_recognizer_dataset.py:174-185).
+    Not squared; the training transform pads to square."""
+    canvas_width, canvas_height = canvas_size * 5, canvas_size * 5
+    img = Image.new("RGB", (canvas_width, canvas_height), (0, 0, 0))
+    draw = ImageDraw.Draw(img)
+    try:
+        draw.text((0, 0), ch, (255, 255, 255), font=font)
+    except OSError:
+        return None
+    bbox = img.getbbox()
+    if bbox is None:
+        return None
+    x0, y0, x1, y1 = bbox
+    # modern replacement for font.getsize(ch): full line height = ascent+descent
+    ascent, descent = font.getmetrics()
+    h = ascent + descent
+    vdist, hdist = y1 - y0, x1 - x0
+    x0 = x0 - hdist * padding
+    x1 = x1 + hdist * padding
+    h = h + vdist * padding
+    uninverted = img.crop((x0, 0, x1, h))
+    return ImageOps.invert(uninverted)
+
+
+def filter_recurring_hash(
+    charset: Sequence[str],
+    font: ImageFont.FreeTypeFont,
+    canvas_size: int,
+    sample_size: int = 2000,
+    seed: int = 0,
+) -> List[int]:
+    """Hashes of renders appearing >2x in a sample — tofu boxes etc.
+    (format_effocr_recognizer_dataset.py:195-205)."""
+    chars = list(charset)
+    np.random.default_rng(seed).shuffle(chars)
+    hash_count: dict = defaultdict(int)
+    for c in chars[:sample_size]:
+        img = draw_single_char(c, font, canvas_size)
+        if img is not None:
+            hash_count[hash(img.tobytes())] += 1
+    return [h for h, n in hash_count.items() if n > 2]
+
+
+def render_chars(
+    font_paths: Sequence[str],
+    unicode_chars: Sequence[str],
+    save_path: str,
+    padding: float = 0.0,
+    draw_func: Callable = draw_single_char,
+    square: bool = False,
+    canvas_size: int = 256,
+) -> int:
+    """Render covered chars per font into <save_path>/<ord>/ PNG tree.
+
+    Filenames: {hex(ord)}_{idx}_{font_name}.png
+    (format_effocr_recognizer_dataset.py:236-238).
+    """
+    os.makedirs(save_path, exist_ok=True)
+    idx = 0
+    for font_path in font_paths:
+        font_name = os.path.splitext(os.path.basename(font_path))[0]
+        font = ImageFont.truetype(font_path, size=canvas_size)
+        _, covered = get_unicode_coverage_from_ttf(font_path)
+        covered = sorted(set(c for c in covered if c in set(unicode_chars)))
+        filter_hashes = set(
+            filter_recurring_hash(covered, font, canvas_size)
+        )
+        for c in covered:
+            img = draw_func(c, font, canvas_size, padding=padding)
+            if img is None:
+                continue
+            if hash(img.tobytes()) in filter_hashes:
+                continue
+            char_dir = os.path.join(save_path, str(ord(c)))
+            os.makedirs(char_dir, exist_ok=True)
+            name = f"{hex(ord(c))}_{idx}_{font_name}.png"
+            if square:
+                img.resize((64, 64)).save(os.path.join(char_dir, name))
+            else:
+                img.save(os.path.join(char_dir, name))
+            idx += 1
+    return idx
+
+
+def paired_chars(
+    dir_paths: Sequence[str], save_path: str, omit: str = "", square: bool = False
+) -> int:
+    """Copy real char crops into the tree as PAIRED_* files
+    (format_effocr_recognizer_dataset.py:242-260).  The PAIRED_ prefix is
+    load-bearing: it selects the non-augmenting transform and the split
+    membership downstream."""
+    idx = 0
+    for dir_path in dir_paths:
+        for fpath in sorted(glob(os.path.join(dir_path, "*.png"))):
+            stem = os.path.splitext(os.path.basename(fpath))[0]
+            c = stem.split("_")[-1]
+            if c.startswith("0x"):
+                c = chr(int(c, base=16))
+            if c in omit:
+                continue
+            char_dir = os.path.join(save_path, str(ord(c)))
+            os.makedirs(char_dir, exist_ok=True)
+            img = Image.open(fpath)
+            name = f"PAIRED_{stem}_{idx}.png"
+            if square:
+                img = img.resize((224, 224))
+            img.save(os.path.join(char_dir, name))
+            idx += 1
+    return idx

@@ -1,0 +1,217 @@
+"""On-device render augmentation: the TPU equivalent of
+create_render_transform (utils/datasets_utils.py:147-163).
+
+The reference augments per-sample on 32 CPU dataloader workers; here the
+whole batch is augmented inside the jitted train step on the VPU, keyed by
+the step PRNG.  Components and probabilities match the reference:
+
+  random affine (p=.7; en: translate .1 / scale .9-1.1, jp: .2 / .8-1.0,
+      white fill)                                    -> separable matmul warp
+  color_shift (p=.25): pixels >= 0.8 per channel -> random color
+  color jitter (p=.5): brightness .5, contrast .3, saturation .3, hue .3
+  random erode/dilate (p=.5, en only), kernels {3,4}x{2,3}  -> reduce_window
+  gaussian noise (p=.25, var 10-150 on the uint8 scale)
+  gaussian blur (p=.3; sigma U(0.1,2) k=11, high_blur: U(1,4) k=15)
+      -> separable shifted-add conv with per-sample taps
+  random grayscale (p=.2)
+  (MedianPad is a no-op here: inputs are already white-padded squares)
+  ImageNet normalize
+
+Paired (real) crops bypass augmentation (recognizer_datasets.py:54-57):
+pass is_paired to select the plain normalize path per sample.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from effocr_tpu.kernels.image_ops import normalize_imagenet
+from effocr_tpu.kernels.morphology import dilate, erode
+
+
+def _affine_matrix(size: int, scale: jnp.ndarray, tx: jnp.ndarray,
+                   ty: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample separable warp matrices A_y [B,S,S], A_x [B,S,S].
+
+    Inverse map about the center: src = (dst - c - t)/scale + c.
+    Out-of-range weight mass is later refilled with white.
+    """
+    s = jnp.arange(size, dtype=jnp.float32)
+    c = (size - 1) / 2.0
+
+    def one_axis(sc, t):
+        src = (s[None, :] - c - t[:, None]) / sc[:, None] + c  # [B,S]
+        w = jnp.maximum(
+            0.0, 1.0 - jnp.abs(src[:, :, None] - s[None, None, :])
+        )  # [B, S_dst, S_src]
+        return w
+
+    return one_axis(scale, ty), one_axis(scale, tx)
+
+
+def _apply_affine(img: jnp.ndarray, a_y: jnp.ndarray, a_x: jnp.ndarray,
+                  fill: float = 1.0) -> jnp.ndarray:
+    """img [B,S,S,3]; white-fill where warp samples outside."""
+    t = jnp.einsum("bis,bswc->biwc", a_y, img)
+    out = jnp.einsum("bjw,biwc->bijc", a_x, t)
+    mass = jnp.einsum(
+        "bi,bj->bij", jnp.sum(a_y, axis=2), jnp.sum(a_x, axis=2)
+    )
+    return out + (1.0 - mass)[..., None] * fill
+
+
+def _rgb_to_gray(x: jnp.ndarray) -> jnp.ndarray:
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def _adjust_hue(x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Hue rotation in YIQ space (delta in turns, [-0.5, 0.5]); per-sample."""
+    yiq_from_rgb = jnp.asarray(
+        [[0.299, 0.587, 0.114],
+         [0.5959, -0.2746, -0.3213],
+         [0.2115, -0.5227, 0.3112]], x.dtype,
+    )
+    rgb_from_yiq = jnp.linalg.inv(yiq_from_rgb)
+    theta = (2.0 * jnp.pi * delta)[:, None, None, None]
+    yiq = jnp.einsum("bhwc,dc->bhwd", x, yiq_from_rgb)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    i = yiq[..., 1:2] * cos - yiq[..., 2:3] * sin
+    q = yiq[..., 1:2] * sin + yiq[..., 2:3] * cos
+    yiq = jnp.concatenate([yiq[..., :1], i, q], axis=-1)
+    return jnp.einsum("bhwd,cd->bhwc", yiq, rgb_from_yiq)
+
+
+def _separable_blur(x: jnp.ndarray, sigma: jnp.ndarray, ksize: int
+                    ) -> jnp.ndarray:
+    """Per-sample gaussian blur via shifted adds. x [B,S,S,3], sigma [B]."""
+    r = ksize // 2
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    taps = jnp.exp(-0.5 * (offs[None, :] / sigma[:, None]) ** 2)
+    taps = taps / jnp.sum(taps, axis=1, keepdims=True)  # [B,k]
+
+    def pass_axis(y, axis):
+        pad = [(0, 0)] * 4
+        pad[axis] = (r, r)
+        yp = jnp.pad(y, pad, mode="edge")
+        out = jnp.zeros_like(y)
+        for j in range(ksize):
+            sl = [slice(None)] * 4
+            sl[axis] = slice(j, j + y.shape[axis])
+            out = out + yp[tuple(sl)] * taps[:, j][:, None, None, None]
+        return out
+
+    return pass_axis(pass_axis(x, 1), 2)
+
+
+def _random_erode_dilate(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """kornia-equivalent morphology with random {3,4}x{2,3} kernel, random
+    erode-vs-dilate per sample (utils/datasets_utils.py:29-36)."""
+    b = x.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    variant = jax.random.randint(k1, (b,), 0, 4)      # kernel choice
+    do_dilate = jax.random.bernoulli(k2, 0.5, (b,))
+
+    kernels = [(3, 2), (3, 3), (4, 2), (4, 3)]
+    er = jnp.stack([erode(x, kh, kw) for kh, kw in kernels])   # [4,B,S,S,3]
+    di = jnp.stack([dilate(x, kh, kw) for kh, kw in kernels])
+    er_sel = jnp.take_along_axis(
+        er, variant[None, :, None, None, None], axis=0
+    )[0]
+    di_sel = jnp.take_along_axis(
+        di, variant[None, :, None, None, None], axis=0
+    )[0]
+    return jnp.where(do_dilate[:, None, None, None], di_sel, er_sel)
+
+
+def _per_sample_apply(p: float, key: jax.Array, x_new: jnp.ndarray,
+                      x_old: jnp.ndarray) -> jnp.ndarray:
+    b = x_old.shape[0]
+    apply = jax.random.bernoulli(key, p, (b,))
+    return jnp.where(apply[:, None, None, None], x_new, x_old)
+
+
+@partial(jax.jit, static_argnames=("lang", "high_blur", "no_aug"))
+def augment_batch(
+    images_u8: jnp.ndarray,
+    is_paired: jnp.ndarray,
+    key: jax.Array,
+    lang: str = "en",
+    high_blur: bool = False,
+    no_aug: bool = False,
+) -> jnp.ndarray:
+    """uint8 [B,S,S,3] white-padded squares -> normalized float32 crops.
+
+    Renders get the full augmentation stack; paired crops (is_paired=True)
+    only get normalize.  no_aug turns augmentation off for everyone
+    (train_effocr_recognizer.py --no_aug).
+    """
+    x = images_u8.astype(jnp.float32) / 255.0
+    if no_aug:
+        return normalize_imagenet(x)
+
+    plain = x
+    b, size = x.shape[0], x.shape[1]
+    keys = jax.random.split(key, 12)
+
+    # random affine
+    if lang == "en":
+        tmax, smin, smax = 0.1, 0.9, 1.1
+    else:
+        tmax, smin, smax = 0.2, 0.8, 1.0
+    scale = jax.random.uniform(keys[0], (b,), minval=smin, maxval=smax)
+    tx = jax.random.uniform(keys[1], (b,), minval=-tmax, maxval=tmax) * size
+    ty = jax.random.uniform(keys[2], (b,), minval=-tmax, maxval=tmax) * size
+    a_y, a_x = _affine_matrix(size, scale, tx, ty)
+    x = _per_sample_apply(0.7, keys[3], _apply_affine(x, a_y, a_x), x)
+
+    # color shift: bright pixels -> random color
+    color = jax.random.uniform(keys[4], (b, 1, 1, 3))
+    shifted = jnp.where(x >= 0.8, jnp.broadcast_to(color, x.shape), x)
+    x = _per_sample_apply(0.25, keys[4], shifted, x)
+
+    # color jitter
+    jk = jax.random.split(keys[5], 5)
+    bf = jax.random.uniform(jk[0], (b, 1, 1, 1), minval=0.5, maxval=1.5)
+    cf = jax.random.uniform(jk[1], (b, 1, 1, 1), minval=0.7, maxval=1.3)
+    sf = jax.random.uniform(jk[2], (b, 1, 1, 1), minval=0.7, maxval=1.3)
+    hd = jax.random.uniform(jk[3], (b,), minval=-0.3, maxval=0.3)
+    j = jnp.clip(x * bf, 0.0, 1.0)
+    gray_mean = jnp.mean(_rgb_to_gray(j), axis=(1, 2), keepdims=True)
+    j = jnp.clip((j - gray_mean) * cf + gray_mean, 0.0, 1.0)
+    j = jnp.clip(_rgb_to_gray(j) + (j - _rgb_to_gray(j)) * sf, 0.0, 1.0)
+    j = jnp.clip(_adjust_hue(j, hd), 0.0, 1.0)
+    x = _per_sample_apply(0.5, jk[4], j, x)
+
+    # erode/dilate (en only)
+    if lang == "en":
+        x = _per_sample_apply(
+            0.5, keys[6], _random_erode_dilate(x, keys[7]), x
+        )
+
+    # gaussian noise (uint8-scale variance 10..150)
+    var = jax.random.uniform(keys[8], (b, 1, 1, 1), minval=10.0, maxval=150.0)
+    noise = jax.random.normal(keys[8], x.shape) * jnp.sqrt(var) / 255.0
+    x = _per_sample_apply(0.25, keys[9], jnp.clip(x + noise, 0.0, 1.0), x)
+
+    # gaussian blur
+    if high_blur:
+        sig = jax.random.uniform(keys[10], (b,), minval=1.0, maxval=4.0)
+        blurred = _separable_blur(x, sig, 15)
+    else:
+        sig = jax.random.uniform(keys[10], (b,), minval=0.1, maxval=2.0)
+        blurred = _separable_blur(x, sig, 11)
+    x = _per_sample_apply(0.3, keys[10], blurred, x)
+
+    # random grayscale
+    x = _per_sample_apply(
+        0.2, keys[11], jnp.broadcast_to(_rgb_to_gray(x), x.shape), x
+    )
+
+    # paired crops bypass augmentation entirely
+    x = jnp.where(is_paired[:, None, None, None], plain, x)
+    return normalize_imagenet(x)
