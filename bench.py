@@ -1,0 +1,104 @@
+"""End-to-end throughput benchmark: text-line images/sec/chip.
+
+Measures the full pipeline (host letterbox -> detector -> decode+NMS ->
+on-device ROI crops -> encoder -> kNN decode -> postprocess) on synthetic
+newspaper-style lines, with the reference's headline fast config
+(yolov5s localizer + mobilenetv3_small_050 recognizer, README.md:133-135).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the fraction of the per-chip north-star target
+(5,000 lines/s on v5e-8 => 625 lines/s/chip, BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_synthetic_lines(n, seed=0, chars_per_line=24):
+    """Text-line-shaped uint8 images with glyph-like dark blobs."""
+    rng = np.random.default_rng(seed)
+    lines = []
+    for _ in range(n):
+        w = int(rng.integers(700, 1100))
+        h = int(rng.integers(40, 64))
+        img = np.full((h, w, 3), 255, np.uint8)
+        x = 8
+        for _ in range(chars_per_line):
+            cw = int(rng.integers(12, 26))
+            if x + cw >= w - 8:
+                break
+            y0 = int(rng.integers(4, 10))
+            y1 = h - int(rng.integers(4, 10))
+            img[y0:y1, x : x + cw] = rng.integers(
+                0, 90, (y1 - y0, cw, 3)
+            ).astype(np.uint8)
+            x += cw + int(rng.integers(4, 12))
+        lines.append(img)
+    return lines
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from effocr_tpu.core.config import (
+        EncoderConfig,
+        LocalizerConfig,
+        PipelineConfig,
+    )
+    from effocr_tpu.models import create_encoder, create_localizer
+    from effocr_tpu.pipelines.infer import EffOCRInference
+    from effocr_tpu.retrieval.index import PrototypeIndex
+
+    n_lines = int(os.environ.get("BENCH_LINES", "256"))
+    lines = make_synthetic_lines(n_lines)
+
+    localizer = create_localizer("yolov5s", num_classes=2)
+    loc_vars = localizer.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), train=False
+    )
+    encoder = create_encoder("mobilenetv3_small_050")
+    enc_vars = encoder.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 224, 224, 3)), train=False
+    )
+    # synthetic prototype index, realistic class count (en charset ~ 88;
+    # use 1024 to be conservative about the retrieval matmul)
+    protos = np.random.default_rng(2).normal(size=(1024, 1024)).astype(
+        np.float32
+    )
+    chars = [chr(0x4E00 + i) for i in range(1024)]
+    index = PrototypeIndex(protos, chars)
+
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.01),
+        encoder=EncoderConfig(arch="mobilenetv3_small_050"),
+        line_batch=32,
+        crop_batch=1024,
+    )
+    engine = EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
+                             index)
+
+    # warmup (compile)
+    engine.run(lines[: cfg.line_batch])
+
+    start = time.time()
+    results = engine.run(lines)
+    elapsed = time.time() - start
+
+    lines_per_sec = len(lines) / elapsed
+    target_per_chip = 5000.0 / 8.0
+    print(json.dumps({
+        "metric": "textline_images_per_sec_per_chip",
+        "value": round(lines_per_sec, 2),
+        "unit": "lines/s/chip",
+        "vs_baseline": round(lines_per_sec / target_per_chip, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+import sys
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__import__("effocr_tpu.cli", fromlist=["__doc__"]).__doc__)
+        sys.exit(1)
+    cmd = sys.argv.pop(1).replace("-", "_")
+    mods = {
+        "format_dataset": "effocr_tpu.cli.format_dataset",
+        "train_recognizer": "effocr_tpu.cli.train_recognizer",
+        "train_localizer": "effocr_tpu.cli.train_localizer",
+        "infer": "effocr_tpu.cli.infer",
+        "viz": "effocr_tpu.cli.viz",
+        "coco_split": "effocr_tpu.cli.coco_tools",
+        "coco_combine": "effocr_tpu.cli.coco_tools",
+        "coco_subset": "effocr_tpu.cli.coco_tools",
+    }
+    if cmd not in mods:
+        print(f"unknown command {cmd}; have {sorted(set(mods))}")
+        sys.exit(1)
+    mod = __import__(mods[cmd], fromlist=["main"])
+    if cmd.startswith("coco_"):
+        mod.main(cmd)
+    else:
+        mod.main()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Inference CLI — the primary OCR entry point.
+
+Flag-compatible with infer_effocr_onnx_multi.py:420-458, consuming the same
+artifact-directory contract (:401-419): recognizer_dir holds the encoder
+checkpoint + ref index + ref.txt (+ class_map.json), localizer_dir holds
+the detector checkpoint + model config (model.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from glob import glob
+
+import jax
+
+from effocr_tpu.core.config import (
+    EncoderConfig,
+    LocalizerConfig,
+    PipelineConfig,
+)
+from effocr_tpu.data.coco import load_json
+from effocr_tpu.eval.textline import textline_evaluation
+from effocr_tpu.models import create_encoder, create_localizer
+from effocr_tpu.pipelines.infer import EffOCRInference
+from effocr_tpu.retrieval.index import PrototypeIndex
+from effocr_tpu.train import checkpoint as ckpt
+
+
+def load_engine(args) -> EffOCRInference:
+    import jax.numpy as jnp
+
+    # localizer
+    with open(os.path.join(args.localizer_dir, "model.json")) as f:
+        loc_meta = json.load(f)
+    localizer = create_localizer(
+        loc_meta.get("arch", "yolov5s"),
+        num_classes=loc_meta.get("num_classes", 2),
+    )
+    size = loc_meta.get("input_size", 640)
+    loc_init = localizer.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+    )
+    loc_vars = ckpt.load_variables(
+        loc_init,
+        ckpt.best_checkpoint_path(args.localizer_dir, "best_bbox_mAP"),
+    )
+
+    # recognizer
+    with open(os.path.join(args.recognizer_dir, "model.json")) as f:
+        rec_meta = json.load(f)
+    encoder = create_encoder(rec_meta.get("arch", "convnext_tiny"))
+    imsize = rec_meta.get("image_size", 224)
+    enc_init = encoder.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)), train=False
+    )
+    enc_vars = ckpt.load_variables(
+        enc_init, ckpt.best_checkpoint_path(args.recognizer_dir)
+    )
+
+    index = PrototypeIndex.load(args.recognizer_dir)
+    print(f"{len(index)} candidate chars!")
+    if args.blacklist_chars:
+        index.blacklist(args.blacklist_chars)
+
+    cfg = PipelineConfig(
+        lang=args.lang,
+        vertical=args.vertical,
+        localizer=LocalizerConfig(
+            arch=loc_meta.get("arch", "yolov5s"),
+            input_size=size,
+            num_classes=loc_meta.get("num_classes", 2),
+            conf_thresh=args.localizer_conf_thresh,
+            iou_thresh=args.localizer_iou_thresh,
+        ),
+        encoder=EncoderConfig(arch=rec_meta.get("arch", "convnext_tiny"),
+                              image_size=imsize),
+        anchor_margin=args.anchor_margin,
+        spell_check=args.spell_check,
+        crop_source=args.crop_source,
+    )
+    return EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars, index)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--image_dir", type=str, required=True)
+    p.add_argument("--coco_json", type=str)
+    p.add_argument("--recognizer_dir", type=str, required=True)
+    p.add_argument("--lang", type=str, required=True, choices=["en", "jp"])
+    p.add_argument("--vertical", action="store_true", default=False)
+    p.add_argument("--blacklist_chars", type=str, default=None)
+    p.add_argument("--no_spaces_eval", action="store_true", default=False)
+    p.add_argument("--spell_check", action="store_true", default=False)
+    p.add_argument("--norm_edit", action="store_true", default=False)
+    p.add_argument("--localizer_dir", type=str, required=True)
+    p.add_argument("--localizer_iou_thresh", type=float, default=0.01)
+    p.add_argument("--localizer_conf_thresh", type=float, default=0.35)
+    p.add_argument("--anchor_margin", type=float, default=None)
+    p.add_argument("--infer_over_img_dir", action="store_true", default=False)
+    p.add_argument("--save_output", type=str, default=None)
+    p.add_argument("--uncased", action="store_true", default=False)
+    p.add_argument("--n_repeats", type=int, default=1)
+    p.add_argument("--crop_source", type=str, default="letterbox",
+                   choices=["letterbox", "original"])
+    args = p.parse_args()
+
+    if args.infer_over_img_dir:
+        coco = None
+        coco_images = sorted(
+            glob(os.path.join(args.image_dir, "**/*.png"), recursive=True)
+            + glob(os.path.join(args.image_dir, "**/*.jpg"), recursive=True)
+        )
+    else:
+        coco = load_json(args.coco_json)
+        coco_images = [
+            os.path.join(args.image_dir, x["file_name"])
+            for x in coco["images"]
+        ]
+
+    coco_images = [c for c in coco_images for _ in range(args.n_repeats)]
+    engine = load_engine(args)
+
+    start = time.time()
+    results = engine.run(coco_images)
+    elapsed = time.time() - start
+    print(f"Total time: {elapsed:.2f}s")
+    print(f"Average time per image: {elapsed / max(len(coco_images), 1):.4f}s")
+
+    if args.save_output:
+        os.makedirs(args.save_output, exist_ok=True)
+        with open(os.path.join(args.save_output,
+                               "inference_results.json"), "w") as f:
+            json.dump({os.path.basename(str(k)): v
+                       for k, v in results.items()}, f, indent=2,
+                      ensure_ascii=False)
+
+    if coco is not None:
+        results_by_name = {
+            os.path.basename(str(k)): v for k, v in results.items()
+        }
+        gt_pred_pairs = []
+        for x in coco["images"]:
+            pred = results_by_name.get(x["file_name"]) or ""
+            gt_pred_pairs.append((x["text"], pred))
+        acc, cer = textline_evaluation(
+            gt_pred_pairs, print_incorrect=True,
+            no_spaces_in_eval=args.no_spaces_eval,
+            norm_edit_distance=args.norm_edit, uncased=args.uncased,
+        )
+        print(f"EffOCR | Textline accuracy = {acc} | CER = {cer}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Localizer training CLI.
+
+Mirrors train_effocr_localizer_d2.py:121-265: COCO train/val/test
+registration, epoch-based max-iter computation, periodic mAP eval with
+best-checkpointing on bbox/AP, resume; multi-device data parallelism via
+the mesh instead of detectron2 launch().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from effocr_tpu.core.config import LocalizerConfig, LocalizerTrainConfig
+from effocr_tpu.core.mesh import make_mesh
+from effocr_tpu.data.detection import DetectionDataset
+from effocr_tpu.models import create_localizer
+from effocr_tpu.train.localizer import LocalizerTrainer
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--image_dir", type=str, required=True)
+    p.add_argument("--train_coco", type=str, required=True)
+    p.add_argument("--val_coco", type=str, required=True)
+    p.add_argument("--run_name", type=str, required=True)
+    p.add_argument("--arch", type=str, default="yolov5s")
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--input_size", type=int, default=640)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--eval_period", type=int, default=1,
+                   help="epochs between evals")
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--wandb", action="store_true", default=False)
+    args = p.parse_args()
+
+    os.makedirs(args.run_name, exist_ok=True)
+    with open(os.path.join(args.run_name, "args_log.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+    # model identity for the inference loader (cli/infer.py load_engine)
+    with open(os.path.join(args.run_name, "model.json"), "w") as f:
+        json.dump({"arch": args.arch, "num_classes": args.num_classes,
+                   "input_size": args.input_size}, f)
+
+    cfg = LocalizerTrainConfig(
+        localizer=LocalizerConfig(
+            arch=args.arch, input_size=args.input_size,
+            num_classes=args.num_classes,
+        ),
+        batch_size=args.batch_size, lr=args.lr,
+        weight_decay=args.weight_decay, num_epochs=args.num_epochs,
+        eval_period_epochs=args.eval_period,
+    )
+
+    train_ds = DetectionDataset(args.train_coco, args.image_dir,
+                                args.input_size)
+    val_ds = DetectionDataset(args.val_coco, args.image_dir, args.input_size)
+
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    total_steps = steps_per_epoch * args.num_epochs
+
+    model = create_localizer(args.arch, num_classes=args.num_classes)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = LocalizerTrainer(cfg, model, args.run_name, total_steps,
+                               mesh=mesh, use_wandb=args.wandb)
+    trainer.init_state(jax.random.PRNGKey(cfg.seed), args.input_size)
+    if args.resume:
+        trainer.resume()
+
+    step = 0
+    for epoch in range(args.num_epochs):
+        for imgs, tgts, masks, _ in train_ds.batches(
+            args.batch_size, seed=cfg.seed + epoch
+        ):
+            loss, parts = trainer.train_step(
+                jnp.asarray(imgs), jnp.asarray(tgts), jnp.asarray(masks)
+            )
+            if step % 50 == 0:
+                trainer.metrics.log({"train/loss": loss, **parts}, step=step)
+                print(f"epoch {epoch} step {step}: loss={loss:.4f}")
+            step += 1
+        if (epoch + 1) % args.eval_period == 0:
+            result = trainer.evaluate(
+                (b[0], b[3]) for b in val_ds.batches(
+                    args.batch_size, shuffle=False, drop_last=False
+                )
+            )
+            print(f"epoch {epoch}: {result}")
+        trainer.save("last")
+
+
+if __name__ == "__main__":
+    main()

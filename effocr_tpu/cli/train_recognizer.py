@@ -1,0 +1,162 @@
+"""Recognizer training CLI.
+
+Flag-for-flag with train_effocr_recognizer.py:185-242; emits the same
+artifact directory: enc_best checkpoint, ref index + ref.txt, hns.txt,
+class_map.json (FFNN mode), args_log.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+from effocr_tpu.core.config import EncoderConfig, RecognizerTrainConfig
+from effocr_tpu.core.mesh import make_mesh
+from effocr_tpu.data.coco import load_json
+from effocr_tpu.data.folder import CharFolderDataset, split_indices
+from effocr_tpu.models import create_classifier, create_encoder
+from effocr_tpu.train.recognizer import RecognizerTrainer
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root_dir_path", type=str, required=True)
+    p.add_argument("--train_ann_path", type=str, required=True)
+    p.add_argument("--val_ann_path", type=str, required=True)
+    p.add_argument("--test_ann_path", type=str, required=True)
+    p.add_argument("--run_name", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=2e-6)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--temp", type=float, default=0.1)
+    p.add_argument("--m", type=int, default=4)
+    p.add_argument("--imsize", type=int, default=224)
+    p.add_argument("--hns_txt_path", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--lang", type=str, default="jp", choices=["jp", "en"])
+    p.add_argument("--finetune", action="store_true", default=False)
+    p.add_argument("--pretrain", action="store_true", default=False)
+    p.add_argument("--high_blur", action="store_true", default=False)
+    p.add_argument("--epoch_viz_dir", type=str, default=None)
+    p.add_argument("--infer_hardneg_k", type=int, default=8)
+    p.add_argument("--N_classes", type=int, default=None)
+    p.add_argument("--test_at_end", action="store_true", default=False)
+    p.add_argument("--auto_model", type=str, default="convnext_tiny",
+                   help="encoder architecture (see models.ENCODER_REGISTRY); "
+                        "replaces --auto_model_timm/--auto_model_hf")
+    p.add_argument("--num_passes", type=int, default=1)
+    p.add_argument("--no_aug", action="store_true", default=False)
+    p.add_argument("--render_font_name", type=str, default=None,
+                   help="prototype font (default: NotoSerifCJKjp-Regular for "
+                        "jp, NotoSerif-Regular for en)")
+    p.add_argument("--wandb", action="store_true", default=False)
+    args = p.parse_args()
+
+    os.makedirs(args.run_name, exist_ok=True)
+    with open(os.path.join(args.run_name, "args_log.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+    # model identity for the inference loader (cli/infer.py load_engine)
+    with open(os.path.join(args.run_name, "model.json"), "w") as f:
+        json.dump({"arch": args.auto_model, "image_size": args.imsize}, f)
+
+    cfg = RecognizerTrainConfig(
+        encoder=EncoderConfig(
+            arch=args.auto_model, image_size=args.imsize,
+            num_classes=args.N_classes,
+        ),
+        batch_size=args.batch_size, lr=args.lr,
+        weight_decay=args.weight_decay, num_epochs=args.num_epochs,
+        temperature=args.temp, m_per_class=args.m,
+        num_passes=args.num_passes, lang=args.lang,
+        finetune=args.finetune, pretrain=args.pretrain,
+        high_blur=args.high_blur, no_aug=args.no_aug,
+        hns_txt_path=args.hns_txt_path,
+        infer_hardneg_k=args.infer_hardneg_k,
+    )
+
+    classifier_mode = args.N_classes is not None
+    if classifier_mode:
+        model = create_classifier(args.auto_model, args.N_classes)
+    else:
+        model = create_encoder(args.auto_model)
+
+    dataset = CharFolderDataset(args.root_dir_path)
+
+    def stems(path):
+        return [os.path.splitext(x["file_name"])[0]
+                for x in load_json(path)["images"]]
+
+    idx_train, idx_val, idx_test = split_indices(
+        dataset, stems(args.train_ann_path), stems(args.val_ann_path),
+        stems(args.test_ann_path), finetune=args.finetune,
+        pretrain=args.pretrain,
+    )
+    font_name = args.render_font_name or (
+        "NotoSerifCJKjp-Regular" if args.lang == "jp" else "NotoSerif-Regular"
+    )
+    render_ref_idx = dataset.render_indices(font_name)
+    if not render_ref_idx:
+        render_ref_idx = dataset.render_indices()
+
+    if classifier_mode:
+        idx_to_class = {
+            v: chr(int(k)) for k, v in dataset.class_to_idx.items()
+        }
+        with open(os.path.join(args.run_name, "class_map.json"), "w") as f:
+            json.dump(idx_to_class, f, indent=2)
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = RecognizerTrainer(
+        cfg, model, args.run_name, classifier_mode=classifier_mode,
+        mesh=mesh, use_wandb=args.wandb,
+    )
+    trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    if args.checkpoint:
+        from effocr_tpu.train import checkpoint as ckpt
+
+        loaded = ckpt.load_variables(trainer.variables, args.checkpoint)
+        trainer.state["params"] = loaded["params"]
+        if "batch_stats" in loaded:
+            trainer.state["batch_stats"] = loaded["batch_stats"]
+
+    hardnegs = None
+    if args.hns_txt_path:
+        with open(args.hns_txt_path) as f:
+            hardnegs = f.read().split()
+
+    best = trainer.fit(dataset, idx_train, idx_val, render_ref_idx,
+                       hardnegs=hardnegs)
+    print(f"Best val accuracy: {best}")
+
+    trainer.load_best()
+    if not classifier_mode:
+        index = trainer.build_ref_index(dataset, render_ref_idx)
+        if args.test_at_end:
+            acc = trainer.eval_knn(dataset, idx_test, render_ref_idx)
+            print(f"Final test acc: {acc}")
+        if args.infer_hardneg_k:
+            query_idx = [
+                i for i in idx_train if dataset.is_paired(i)
+            ]
+            if not query_idx:
+                # no paired data: one synth crop per class
+                seen = set()
+                query_idx = []
+                for i in idx_train:
+                    t = dataset.targets[i]
+                    if t not in seen:
+                        seen.add(t)
+                        query_idx.append(i)
+            trainer.infer_hardneg(dataset, query_idx, index,
+                                  k=args.infer_hardneg_k)
+    elif args.test_at_end:
+        acc = trainer.eval_classifier(dataset, idx_test)
+        print(f"Final test acc: {acc}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Recognizer retrieval visualization CLI (viz_effocr_recognizer.py).
+
+For each query crop: embed, retrieve k nearest prototypes, save a grid with
+correctness in the filename.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from effocr_tpu.kernels.image_ops import paired_transform_host
+from effocr_tpu.models import create_encoder
+from effocr_tpu.retrieval.index import PrototypeIndex
+from effocr_tpu.train import checkpoint as ckpt
+from effocr_tpu.utils.viz import save_knn_grid
+
+
+def main():
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--recognizer_dir", type=str, required=True)
+    p.add_argument("--query_dir", type=str, required=True,
+                   help="directory of query crop PNGs")
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--num", type=int, default=50)
+    args = p.parse_args()
+
+    with open(os.path.join(args.recognizer_dir, "model.json")) as f:
+        meta = json.load(f)
+    encoder = create_encoder(meta.get("arch", "convnext_tiny"))
+    imsize = meta.get("image_size", 224)
+    init = encoder.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, imsize, imsize, 3)), train=False)
+    variables = ckpt.load_variables(
+        init, ckpt.best_checkpoint_path(args.recognizer_dir)
+    )
+    index = PrototypeIndex.load(args.recognizer_dir)
+
+    from PIL import Image
+
+    embed = jax.jit(lambda x: encoder.apply(variables, x, train=False))
+    queries = sorted(glob(os.path.join(args.query_dir, "*.png")))[: args.num]
+    for qp in queries:
+        raw = np.asarray(Image.open(qp).convert("RGB"))
+        x = paired_transform_host(raw, imsize)
+        emb = np.asarray(embed(jnp.asarray(x[None])))
+        _, idx = index.search(emb, k=args.k)
+        # neighbor display: render prototypes are not stored as images in
+        # the index, so show the query alongside the decoded characters
+        chars = [index.chars[i] for i in idx[0]]
+        stem = os.path.splitext(os.path.basename(qp))[0]
+        true_char = stem.split("_")[-2] if "_" in stem else None
+        if true_char and true_char.startswith("0x"):
+            true_char = chr(int(true_char, 16))
+        correct = (true_char == chars[0]) if true_char else None
+        name = f"{stem}_nn_{'-'.join(hex(ord(c)) for c in chars)}.png"
+        save_knn_grid(raw, [], os.path.join(args.out_dir, name),
+                      correct=correct)
+        print(f"{stem}: {''.join(chars)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,9 +64,11 @@ def decode_and_nms(
     top_conf, idx = jax.lax.top_k(key, k)  # [B, k]
     valid = top_conf > NEG_INF / 2
 
-    boxes_xywh = jnp.take_along_axis(
-        prediction[..., :4], idx[..., None], axis=1
-    )
+    # NB: explicitly broadcast the gather index — relying on take_along_axis
+    # index broadcasting miscompiles under nested jit on some backends
+    # (observed on jax 0.9 CPU: components 1..3 gathered from row 0).
+    idx4 = jnp.broadcast_to(idx[..., None], idx.shape + (4,))
+    boxes_xywh = jnp.take_along_axis(prediction[..., :4], idx4, axis=1)
     boxes = xywh2xyxy(boxes_xywh)
     classes = jnp.take_along_axis(cls, idx, axis=1)
     scores = jnp.where(valid, top_conf, 0.0)

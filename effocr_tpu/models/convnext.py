@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from effocr_tpu.models.layers import DropPath, global_avg_pool
@@ -65,9 +66,11 @@ class ConvNeXt(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
+        # host-side numpy: a jnp.linspace here would become a tracer under
+        # jit and break the static drop-path probability
         dp_rates = [
             float(r) for r in
-            jnp.linspace(0, self.drop_path_rate, sum(self.depths))
+            np.linspace(0, self.drop_path_rate, sum(self.depths))
         ]
         cur = 0
         for i, (depth, dim) in enumerate(zip(self.depths, self.dims)):

@@ -1,0 +1,145 @@
+// Native host-side image preprocessing for the inference input pipeline.
+//
+// The reference's hot host path runs through native libraries (OpenCV
+// letterbox in onnx_engines/localizer_engine.py:76-138, ONNXRuntime thread
+// pools); this is the first-party equivalent for the TPU pipeline: batched
+// letterbox (bilinear resize + pad) over a thread pool, feeding fixed-shape
+// uint8 tensors straight to the device.  Coordinate convention matches
+// cv2.INTER_LINEAR / jax.image.resize(antialias=False):
+//     src = (dst + 0.5) * scale - 0.5, edge-clamped.
+//
+// Built as a shared library; bound via ctypes (effocr_tpu/native/__init__.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline void resize_bilinear_u8(const uint8_t* src, int sh, int sw,
+                               uint8_t* dst, int dh, int dw, int channels) {
+  const float sy = static_cast<float>(sh) / dh;
+  const float sx = static_cast<float>(sw) / dw;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    fy = std::max(0.0f, std::min(fy, static_cast<float>(sh - 1)));
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, sh - 1);
+    const float wy = fy - y0;
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      fx = std::max(0.0f, std::min(fx, static_cast<float>(sw - 1)));
+      const int x0 = static_cast<int>(fx);
+      const int x1 = std::min(x0 + 1, sw - 1);
+      const float wx = fx - x0;
+      const uint8_t* p00 = src + (y0 * sw + x0) * channels;
+      const uint8_t* p01 = src + (y0 * sw + x1) * channels;
+      const uint8_t* p10 = src + (y1 * sw + x0) * channels;
+      const uint8_t* p11 = src + (y1 * sw + x1) * channels;
+      uint8_t* out = dst + (y * dw + x) * channels;
+      for (int c = 0; c < channels; ++c) {
+        const float top = p00[c] + (p01[c] - p00[c]) * wx;
+        const float bot = p10[c] + (p11[c] - p10[c]) * wx;
+        out[c] = static_cast<uint8_t>(top + (bot - top) * wy + 0.5f);
+      }
+    }
+  }
+}
+
+void parallel_for(int n, int num_threads, const std::function<void(int)>& fn) {
+  if (n <= 1 || num_threads <= 1) {
+    for (int i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      fn(i);
+    }
+  };
+  const int t = std::min(n, num_threads);
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Letterbox a batch of images into out[n, size, size, 3] (uint8, RGB).
+// imgs: array of n pointers to HWC uint8 buffers; hs/ws their shapes.
+// Writes the scale ratio and (top, left) content offset per image.
+// Mirrors localizer_engine.py:107-138 with auto=False, scaleup=True.
+void letterbox_batch(const uint8_t** imgs, const int* hs, const int* ws,
+                     int n, int size, uint8_t pad_val, int num_threads,
+                     uint8_t* out, float* ratios, int* tops, int* lefts) {
+  const size_t plane = static_cast<size_t>(size) * size * 3;
+  parallel_for(n, num_threads, [&](int i) {
+    const int h = hs[i], w = ws[i];
+    const float r = std::min(static_cast<float>(size) / h,
+                             static_cast<float>(size) / w);
+    const int nw = static_cast<int>(std::lround(w * r));
+    const int nh = static_cast<int>(std::lround(h * r));
+    const float dw = (size - nw) / 2.0f;
+    const float dh = (size - nh) / 2.0f;
+    const int top = static_cast<int>(std::lround(dh - 0.1f));
+    const int left = static_cast<int>(std::lround(dw - 0.1f));
+    uint8_t* dst = out + i * plane;
+    std::memset(dst, pad_val, plane);
+    std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw * 3);
+    if (nh == h && nw == w) {
+      std::memcpy(resized.data(), imgs[i], resized.size());
+    } else {
+      resize_bilinear_u8(imgs[i], h, w, resized.data(), nh, nw, 3);
+    }
+    for (int y = 0; y < nh; ++y) {
+      std::memcpy(dst + ((top + y) * size + left) * 3,
+                  resized.data() + static_cast<size_t>(y) * nw * 3,
+                  static_cast<size_t>(nw) * 3);
+    }
+    ratios[i] = r;
+    tops[i] = top;
+    lefts[i] = left;
+  });
+}
+
+// Crop regions from original images, pad to white square (top-left
+// anchored, MedianPad-override semantics), resize to out_size; output
+// uint8 [n, out_size, out_size, 3].  rects are int32 (x0,y0,x1,y1) into
+// each source image; img_idx selects the source.
+void crop_square_batch(const uint8_t** imgs, const int* hs, const int* ws,
+                       const int* rects, const int* img_idx, int n_crops,
+                       int out_size, int num_threads, uint8_t* out) {
+  const size_t plane = static_cast<size_t>(out_size) * out_size * 3;
+  parallel_for(n_crops, num_threads, [&](int i) {
+    const int b = img_idx[i];
+    const int h = hs[b], w = ws[b];
+    int x0 = std::max(rects[i * 4 + 0], 0);
+    int y0 = std::max(rects[i * 4 + 1], 0);
+    int x1 = std::min(rects[i * 4 + 2], w);
+    int y1 = std::min(rects[i * 4 + 3], h);
+    x1 = std::max(x1, x0 + 1);
+    y1 = std::max(y1, y0 + 1);
+    const int cw = x1 - x0, ch = y1 - y0;
+    const int side = std::max(cw, ch);
+    std::vector<uint8_t> square(static_cast<size_t>(side) * side * 3, 255);
+    for (int y = 0; y < ch; ++y) {
+      std::memcpy(square.data() + static_cast<size_t>(y) * side * 3,
+                  imgs[b] + ((y0 + y) * w + x0) * 3,
+                  static_cast<size_t>(cw) * 3);
+    }
+    resize_bilinear_u8(square.data(), side, side, out + i * plane,
+                       out_size, out_size, 3);
+  });
+}
+
+}  // extern "C"

@@ -1,0 +1,317 @@
+"""End-to-end OCR inference: lines -> boxes -> crops -> embeddings -> text.
+
+This is the TPU redesign of run_effocr (infer_effocr_onnx_multi.py:227-397).
+The reference fans work out to CPU thread pools around ONNX sessions; here
+the pipeline is two fixed-shape jitted device programs plus thin host glue:
+
+  program A (detect):     uint8 letterboxed lines -> YOLO forward -> decode
+                          -> greedy NMS -> padded [L, max_det, 6] + mask
+  host glue:              reading-order sort, word boundaries, crop rects
+                          (cheap numpy on few hundred boxes/line)
+  program B (recognize):  ROI crop kernel -> encoder -> retrieval top-1
+                          (crops never leave the device)
+
+Host does only image decode + letterbox; everything from /255 onward is XLA.
+Two crop sources are supported: 'letterbox' (fully fused on device) and
+'original' (host crops from the original image, byte-matching the
+reference's infer_effocr_onnx_multi.py:307-318 semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from effocr_tpu.core.batching import pad_to_multiple
+from effocr_tpu.core.config import PipelineConfig
+from effocr_tpu.kernels.image_ops import letterbox_host, paired_transform_host
+from effocr_tpu.kernels.retrieval import knn_topk, l2_normalize
+from effocr_tpu.kernels.roi import crop_lines_to_squares
+from effocr_tpu.kernels.yolo_decode import decode_and_nms
+from effocr_tpu.pipelines.lang import en_postprocess, en_preprocess, jp_preprocess
+from effocr_tpu.retrieval.index import PrototypeIndex
+
+
+class EffOCRInference:
+    """OCR engine: localizer + recognizer + prototype index.
+
+    localizer/encoder are (flax module, variables) pairs; index is a
+    PrototypeIndex.  See effocr_tpu.cli.infer for artifact-directory loading
+    that mirrors the reference's recognizer_dir/localizer_dir contract.
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        localizer,
+        localizer_vars,
+        encoder,
+        encoder_vars,
+        index: PrototypeIndex,
+    ):
+        self.config = config
+        self.localizer = localizer
+        self.localizer_vars = localizer_vars
+        self.encoder = encoder
+        self.encoder_vars = encoder_vars
+        self.index = index
+        c = config
+
+        @jax.jit
+        def _detect(images_u8):
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            (decoded, _raw) = self.localizer.apply(
+                self.localizer_vars, imgs, train=False
+            )
+            boxes, scores, classes, valid = decode_and_nms(
+                decoded,
+                conf_thresh=c.localizer.conf_thresh,
+                iou_thresh=c.localizer.iou_thresh,
+                max_nms=c.localizer.max_nms,
+                max_det=c.localizer.max_det,
+                class_agnostic=c.localizer.class_agnostic,
+            )
+            return imgs, boxes, scores, classes, valid
+
+        @partial(jax.jit, static_argnames=("window",))
+        def _recognize(images_f32, rects, img_idx, valid, protos, row_mask,
+                       window=256):
+            crops = crop_lines_to_squares(
+                images_f32, rects, img_idx, valid,
+                out_size=c.encoder.image_size, window=window,
+            )
+            emb = self.encoder.apply(self.encoder_vars, crops, train=False)
+            scores, idx = knn_topk(emb, protos, k=c.knn_k, row_mask=row_mask)
+            return idx, scores
+
+        @jax.jit
+        def _recognize_direct(crops, protos, row_mask):
+            emb = self.encoder.apply(self.encoder_vars, crops, train=False)
+            scores, idx = knn_topk(emb, protos, k=c.knn_k, row_mask=row_mask)
+            return idx, scores
+
+        self._detect = _detect
+        self._recognize = _recognize
+        self._recognize_direct = _recognize_direct
+
+    # ------------------------------------------------------------------ I/O
+    @staticmethod
+    def _load_image(img: Union[str, np.ndarray]) -> np.ndarray:
+        if isinstance(img, str):
+            from PIL import Image
+
+            return np.asarray(Image.open(img).convert("RGB"))
+        return np.asarray(img)
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        images: Sequence[Union[str, np.ndarray]],
+        return_coco: bool = False,
+    ) -> Dict:
+        """OCR a list of text-line images (paths or HWC uint8 RGB arrays).
+
+        Returns {key: text} where key is the path (or list index), the
+        contract of run_effocr (infer_effocr_onnx_multi.py:388-397).
+        """
+        c = self.config
+        size = c.localizer.input_size
+        results: Dict = {}
+        coco_boxes: Dict = {}
+
+        keys = [
+            img if isinstance(img, str) else i
+            for i, img in enumerate(images)
+        ]
+        raws = [self._load_image(img) for img in images]
+
+        for start in range(0, len(raws), c.line_batch):
+            chunk = raws[start : start + c.line_batch]
+            chunk_keys = keys[start : start + c.line_batch]
+            self._run_chunk(chunk, chunk_keys, results, coco_boxes)
+
+        if return_coco:
+            return results, coco_boxes
+        return results
+
+    def _run_chunk(self, chunk, chunk_keys, results, coco_boxes) -> None:
+        c = self.config
+        size = c.localizer.input_size
+        n = len(chunk)
+        lb_imgs = np.full((c.line_batch, size, size, 3), 114, np.uint8)
+        metas = []
+        from effocr_tpu import native
+
+        if native.available():
+            out, ratios, tops, lefts = native.letterbox_batch(
+                [np.ascontiguousarray(im) for im in chunk], size
+            )
+            lb_imgs[:n] = out
+            for i, raw in enumerate(chunk):
+                h, w = raw.shape[:2]
+                r = float(ratios[i])
+                metas.append(
+                    dict(h=h, w=w, r=r, top=int(tops[i]),
+                         left=int(lefts[i]), new_h=int(round(h * r)),
+                         new_w=int(round(w * r)))
+                )
+        else:
+            for i, raw in enumerate(chunk):
+                lb, r, (dw, dh) = letterbox_host(raw, (size, size))
+                lb_imgs[i] = lb
+                h, w = raw.shape[:2]
+                new_w, new_h = int(round(w * r)), int(round(h * r))
+                top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+                metas.append(
+                    dict(h=h, w=w, r=r, top=top, left=left, new_h=new_h,
+                         new_w=new_w)
+                )
+
+        imgs_dev, boxes, scores, classes, valid = self._detect(
+            jnp.asarray(lb_imgs)
+        )
+        boxes = np.asarray(boxes)
+        classes = np.asarray(classes)
+        valid = np.asarray(valid)
+
+        # ---- host glue: ordering + rects -----------------------------
+        all_rects: List[np.ndarray] = []
+        all_img_idx: List[int] = []
+        host_crops: List[np.ndarray] = []
+        per_line: List[Dict] = []
+        for i in range(n):
+            meta = metas[i]
+            v = valid[i]
+            char_boxes = boxes[i][(classes[i] == 0) & v]
+            word_boxes = boxes[i][(classes[i] == 1) & v]
+
+            if c.lang == "en":
+                if len(char_boxes):
+                    char_sorted, word_end_idx = en_preprocess(
+                        char_boxes.tolist(), word_boxes.tolist(),
+                        vertical=c.vertical,
+                    )
+                else:
+                    char_sorted, word_end_idx = [], []
+            else:
+                char_sorted = (
+                    jp_preprocess(char_boxes.tolist(), vertical=c.vertical)
+                    if len(char_boxes) else []
+                )
+                word_end_idx = []
+
+            heights = [b[3] - b[1] for b in char_sorted]
+            bottoms = [b[3] for b in char_sorted]
+            per_line.append(
+                dict(key=chunk_keys[i], n_chars=len(char_sorted),
+                     word_end_idx=word_end_idx, heights=heights,
+                     bottoms=bottoms, boxes=char_sorted, meta=meta)
+            )
+
+            for b in char_sorted:
+                if c.crop_source == "letterbox":
+                    if c.vertical:
+                        rect = [
+                            meta["left"], int(round(b[1])),
+                            meta["left"] + meta["new_w"], int(round(b[3])),
+                        ]
+                    else:
+                        rect = [
+                            int(round(b[0])), meta["top"],
+                            int(round(b[2])), meta["top"] + meta["new_h"],
+                        ]
+                    all_rects.append(rect)
+                    all_img_idx.append(i)
+                else:
+                    # reference-exact original-resolution crop
+                    raw = chunk[i]
+                    if c.vertical:
+                        y0 = int(round(round(b[1]) * meta["h"] / 640))
+                        y1 = int(round(round(b[3]) * meta["h"] / 640))
+                        crop = raw[y0:y1, :, :]
+                    else:
+                        x0 = int(round(round(b[0]) * meta["w"] / 640))
+                        x1 = int(round(round(b[2]) * meta["w"] / 640))
+                        crop = raw[:, x0:x1, :]
+                    if crop.size == 0:
+                        crop = np.zeros((4, 4, 3), np.uint8)
+                    host_crops.append(
+                        paired_transform_host(crop, c.encoder.image_size)
+                    )
+
+        # ---- recognize ------------------------------------------------
+        total = sum(p["n_chars"] for p in per_line)
+        nn_indices = (
+            self._recognize_crops(total, all_rects, all_img_idx, host_crops,
+                                  imgs_dev)
+            if total else np.zeros((0,), np.int32)
+        )
+
+        # ---- decode + postprocess --------------------------------------
+        chars = [self.index.chars[j] for j in nn_indices]
+        pos = 0
+        for p in per_line:
+            lc = chars[pos : pos + p["n_chars"]]
+            pos += p["n_chars"]
+            text = "".join(x[0] for x in lc).strip() if lc else ""
+            if self.config.lang == "en":
+                out = en_postprocess(
+                    text, p["word_end_idx"], p["heights"], p["bottoms"],
+                    anchor_margin=self.config.anchor_margin,
+                    anchor_multiplier=self.config.anchor_multiplier,
+                )
+            else:
+                out = text
+            if self.config.spell_check and out:
+                from effocr_tpu.utils.spell_check import visual_spell_checker
+
+                out = visual_spell_checker(out)
+            results[p["key"]] = out
+            coco_boxes[p["key"]] = p["boxes"]
+
+    def _recognize_crops(self, total, all_rects, all_img_idx, host_crops,
+                         imgs_dev) -> np.ndarray:
+        c = self.config
+        bs = c.crop_batch
+        padded = pad_to_multiple(total, bs)
+        protos = self.index.device_embeddings
+        row_mask = self.index.device_mask
+        out: List[np.ndarray] = []
+
+        if c.crop_source == "letterbox":
+            rects = np.zeros((padded, 4), np.int32)
+            rects[:total] = np.asarray(all_rects, np.int32)
+            img_idx = np.zeros((padded,), np.int32)
+            img_idx[:total] = np.asarray(all_img_idx, np.int32)
+            vmask = np.zeros((padded,), bool)
+            vmask[:total] = True
+            for s in range(0, padded, bs):
+                idx, _ = self._recognize(
+                    imgs_dev,
+                    jnp.asarray(rects[s : s + bs]),
+                    jnp.asarray(img_idx[s : s + bs]),
+                    jnp.asarray(vmask[s : s + bs]),
+                    protos, row_mask,
+                    window=min(c.localizer.input_size, 384),
+                )
+                out.append(np.asarray(idx)[:, 0])
+        else:
+            crops = np.zeros(
+                (padded, c.encoder.image_size, c.encoder.image_size, 3),
+                np.float32,
+            )
+            if total:
+                crops[:total] = np.stack(host_crops)
+            for s in range(0, padded, bs):
+                idx, _ = self._recognize_direct(
+                    jnp.asarray(crops[s : s + bs]), protos, row_mask
+                )
+                out.append(np.asarray(idx)[:, 0])
+
+        return np.concatenate(out)[:total] if out else np.zeros((0,), np.int32)

@@ -1,0 +1,152 @@
+"""Language-specific pre/post-processing (pure host functions).
+
+Behavioral parity with the reference, which duplicates this logic in three
+drivers (infer_effocr_onnx_multi.py:70-140, infer_effocr.py:346-419,
+onnx_engines/infer_ocr_yolo.py:441-514); here it is centralized once.
+
+- en_preprocess: reading-order sort + word-boundary indices (the char whose
+  right edge is nearest to, and right of, each word box's left edge).
+- en_postprocess: space insertion at word boundaries, then (optionally,
+  when anchor_margin is set) case repair against the average height of
+  "distinct lowercase" letters (aenr) and '-' -> '.' repair by baseline
+  position.
+- jp_preprocess: reading-order sort only (y when vertical).
+
+Quirk faithfully kept: in en_preprocess the closest-char index persists
+across words, so a word box with no char right-edge beyond its left edge
+reuses the previous word's boundary (infer_effocr_onnx_multi.py:75-86).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+LARGE_NUMBER = 1_000_000_000
+
+DISTINCT_LOWERCASE = list("aenr")       # utils/spell_check_utils.py:60-61
+NONDISTINCT_LOWERCASE = list("wuosvcxz")  # :64-65
+
+
+def en_preprocess(
+    bboxes_char: Sequence[Sequence[float]],
+    bboxes_word: Sequence[Sequence[float]],
+    vertical: bool = False,
+) -> Tuple[List[Sequence[float]], List[int]]:
+    """Sort char/word boxes in reading order; find word-end char indices."""
+    key = (lambda b: b[1]) if vertical else (lambda b: b[0])
+    sorted_chars = sorted(bboxes_char, key=key)
+    sorted_words = sorted(bboxes_word, key=key)
+
+    char_rights = [b[2] for b in sorted_chars]
+    word_end_idx: List[int] = []
+    closest_idx = 0
+    for word in sorted_words:
+        wordleft = word[0]
+        prev_dist = LARGE_NUMBER
+        for idx, charright in enumerate(char_rights):
+            dist = abs(wordleft - charright)
+            if dist < prev_dist and charright > wordleft:
+                prev_dist = dist
+                closest_idx = idx
+        word_end_idx.append(closest_idx)
+    assert len(word_end_idx) == len(sorted_words)
+    return sorted_chars, word_end_idx
+
+
+def _flatten(items):
+    for item in items:
+        if isinstance(item, (tuple, list)):
+            yield from _flatten(item)
+        else:
+            yield item
+
+
+def en_postprocess(
+    line_output: str,
+    word_end_idx: Sequence[int],
+    charheights: Sequence[float],
+    charbottoms: Sequence[float],
+    anchor_margin: Optional[float] = None,
+    anchor_multiplier: float = 4,
+) -> Optional[str]:
+    """Space insertion + optional case/punctuation repair.
+
+    line_output: the raw decoded char string (one char per detection, in
+    reading order).  charheights/charbottoms are measured in the localizer's
+    640-letterbox space (infer_effocr_onnx_multi.py:320-322).
+    """
+    assert len(line_output) == len(charheights) == len(charbottoms), (
+        f"{len(line_output)} == {len(charheights)} == {len(charbottoms)}"
+    )
+    if any(
+        len(x) == 0
+        for x in (line_output, word_end_idx, charheights, charbottoms)
+    ):
+        return None
+
+    word_end_set = set(word_end_idx)
+    outchars = [
+        " " + c if i in word_end_set else c
+        for i, c in enumerate(line_output)
+    ]
+    heights = list(
+        _flatten(
+            [(LARGE_NUMBER, h) if i in word_end_set else h
+             for i, h in enumerate(charheights)]
+        )
+    )
+    bottoms = list(
+        _flatten(
+            [(0, x) if i in word_end_set else x
+             for i, x in enumerate(charbottoms)]
+        )
+    )
+    if bottoms and bottoms[0] == 0:
+        bottoms = bottoms[1:]
+    if heights and heights[0] == LARGE_NUMBER:
+        heights = heights[1:]
+
+    line = "".join(outchars).strip()
+    assert len(heights) == len(line), (
+        f"heights = {len(heights)}; output = {len(line)}"
+    )
+
+    distinct_idx = [i for i, c in enumerate(line) if c in DISTINCT_LOWERCASE]
+    if len(distinct_idx) == 0 or anchor_margin is None:
+        return line
+
+    avg_h = sum(heights[i] for i in distinct_idx) / len(distinct_idx)
+    tolower = {
+        i for i, c in enumerate(line)
+        if abs(heights[i] - avg_h) < anchor_margin * avg_h
+    }
+    toupper = {
+        i for i, c in enumerate(line)
+        if heights[i] - avg_h > anchor_margin * anchor_multiplier * avg_h
+    }
+    avg_b = sum(bottoms[i] for i in distinct_idx) / len(distinct_idx)
+    toperiod = {
+        i for i, c in enumerate(line)
+        if c == "-" and abs(bottoms[i] - avg_b) < anchor_margin * avg_h
+    }
+
+    nondistinct = set(NONDISTINCT_LOWERCASE)
+    line = "".join(
+        c.lower() if i in tolower else c for i, c in enumerate(line)
+    )
+    line = "".join(
+        c.upper() if i in toupper and c in nondistinct else c
+        for i, c in enumerate(line)
+    )
+    line = "".join(
+        "." if i in toperiod else c for i, c in enumerate(line)
+    )
+    return line
+
+
+def jp_preprocess(
+    bboxes_char: Sequence[Sequence[float]], vertical: bool = True
+) -> List[Sequence[float]]:
+    """Reading-order sort (infer_effocr_onnx_multi.py:134-140)."""
+    key = (lambda b: b[1]) if vertical else (lambda b: b[0])
+    return sorted(bboxes_char, key=key)

@@ -1,0 +1,175 @@
+"""Localizer (detector) training.
+
+Replaces the Detectron2 LazyConfig trainer (train_effocr_localizer_d2.py:48-110):
+AMP/bf16 train step with the YOLO loss, warmup+cosine schedule, periodic COCO
+mAP eval and best-checkpointing on bbox/AP (the reference's
+BestCheckpointer hook, :92-93), resume support, and data parallelism via the
+mesh 'data' axis (replaces detectron2.engine.launch/DDP, :258-265).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from effocr_tpu.core.config import LocalizerTrainConfig
+from effocr_tpu.eval.coco_map import coco_map
+from effocr_tpu.kernels.yolo_decode import decode_and_nms
+from effocr_tpu.train import checkpoint as ckpt
+from effocr_tpu.train.losses import yolo_loss
+from effocr_tpu.train.metrics import MetricsWriter
+
+
+def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
+                             anchors, mesh: Optional[Mesh] = None):
+    def step(state, images, targets, target_mask):
+        """images float [B,S,S,3] in [0,1]; targets [B,T,5] (cls,cx,cy,w,h px)."""
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state["batch_stats"]}
+            raw, mut = model.apply(
+                variables, images, train=True, decode=False,
+                mutable=["batch_stats"],
+            )
+            loss, parts = yolo_loss(
+                raw, targets, target_mask, anchors,
+                num_classes=cfg.localizer.num_classes,
+                box_gain=cfg.box_gain, obj_gain=cfg.obj_gain,
+                cls_gain=cfg.cls_gain, anchor_t=cfg.anchor_match_thresh,
+            )
+            return loss, (mut["batch_stats"], parts)
+
+        (loss, (new_stats, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state["params"])
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": new_params,
+            "batch_stats": new_stats,
+            "opt_state": new_opt,
+        }
+        return new_state, loss, parts
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(repl, data, data, data),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class LocalizerTrainer:
+    def __init__(self, cfg: LocalizerTrainConfig, model, run_dir: str,
+                 total_steps: int, mesh: Optional[Mesh] = None,
+                 use_wandb: bool = False):
+        self.cfg = cfg
+        self.model = model
+        self.run_dir = run_dir
+        self.mesh = mesh
+        os.makedirs(run_dir, exist_ok=True)
+        self.metrics = MetricsWriter(run_dir, use_wandb=use_wandb)
+
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, cfg.warmup_steps, max(total_steps, cfg.warmup_steps + 1)
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adamw(schedule, weight_decay=cfg.weight_decay),
+        )
+        self.anchors = model.anchors
+        self._step_fn = make_detector_train_step(
+            model, cfg, self.tx, self.anchors, mesh
+        )
+        self._infer_fn = jax.jit(
+            lambda variables, x: decode_and_nms(
+                model.apply(variables, x, train=False)[0],
+                conf_thresh=0.001,  # low-conf eval sweep for mAP
+                iou_thresh=0.45,
+                max_nms=cfg.localizer.max_nms,
+                max_det=cfg.localizer.max_det,
+            )
+        )
+        self.state = None
+        self.best_ap = -1.0
+
+    def init_state(self, key: jax.Array, input_size: Optional[int] = None):
+        size = input_size or self.cfg.localizer.input_size
+        x = jnp.zeros((1, size, size, 3), jnp.float32)
+        variables = self.model.init(key, x, train=False)
+        params = variables["params"]
+        self.state = {
+            "params": params,
+            "batch_stats": variables.get("batch_stats", {}),
+            "opt_state": self.tx.init(params),
+        }
+        if self.mesh is not None:
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P())
+            )
+        return self.state
+
+    @property
+    def variables(self):
+        return {"params": self.state["params"],
+                "batch_stats": self.state["batch_stats"]}
+
+    def train_step(self, images, targets, target_mask):
+        self.state, loss, parts = self._step_fn(
+            self.state, images, targets, target_mask
+        )
+        return float(loss), {k: float(v) for k, v in parts.items()}
+
+    # ----------------------------------------------------------------- eval
+    def evaluate(self, batches: Iterable[Tuple[np.ndarray, List[Dict]]]
+                 ) -> Dict[str, float]:
+        """batches: (images [B,S,S,3] float, gt list per image with
+        'boxes' xyxy / 'classes').  Returns COCO bbox AP metrics."""
+        preds, gts = [], []
+        for images, gt_list in batches:
+            boxes, scores, classes, valid = self._infer_fn(
+                self.variables, jnp.asarray(images)
+            )
+            boxes, scores = np.asarray(boxes), np.asarray(scores)
+            classes, valid = np.asarray(classes), np.asarray(valid)
+            for i in range(len(gt_list)):
+                v = valid[i]
+                preds.append({
+                    "boxes": boxes[i][v], "scores": scores[i][v],
+                    "classes": classes[i][v],
+                })
+                gts.append(gt_list[i])
+        result = coco_map(preds, gts,
+                          num_classes=self.cfg.localizer.num_classes)
+        self.metrics.log(result)
+        if result["bbox/AP"] >= self.best_ap:
+            self.best_ap = result["bbox/AP"]
+            ckpt.save_variables(
+                self.variables,
+                ckpt.best_checkpoint_path(self.run_dir, "best_bbox_mAP"),
+            )
+        return result
+
+    def save(self, name: str = "last"):
+        ckpt.save_train_state(
+            self.state, os.path.join(self.run_dir, f"{name}.msgpack")
+        )
+
+    def resume(self, name: str = "last"):
+        path = os.path.join(self.run_dir, f"{name}.msgpack")
+        if os.path.exists(path):
+            self.state = ckpt.load_train_state(self.state, path)
+            return True
+        return False

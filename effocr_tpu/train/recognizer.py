@@ -1,0 +1,293 @@
+"""Recognizer training: SupCon metric learning (kNN mode) or cross-entropy
+(FFNN classifier mode).
+
+Parity with train_effocr_recognizer.py: AdamW(lr 2e-6, wd 5e-4) (:326),
+SupConLoss(temp .1) (:327), m-per-class batches without replacement,
+per-epoch val precision@1 against the render prototype set (:81-102),
+best-checkpoint keeping (:364-366), final prototype-index build (:47-62)
+and k-NN hard-negative mining to hns.txt (:25-44).
+
+TPU-native: one jitted train step fuses on-device augmentation + forward +
+SupCon + optimizer update; the batch is sharded over the mesh 'data' axis
+(replaces nn.DataParallel, :288-293) — embeddings are globally visible to
+the contrastive loss exactly like the reference's gathered DataParallel
+outputs.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from effocr_tpu.core.config import RecognizerTrainConfig
+from effocr_tpu.data.folder import CharFolderDataset
+from effocr_tpu.data.samplers import (
+    HardNegativeClassSampler,
+    NoReplacementMPerClassSampler,
+    batch_iterator,
+)
+from effocr_tpu.data.transforms import augment_batch
+from effocr_tpu.kernels.retrieval import knn_topk, l2_normalize
+from effocr_tpu.retrieval.index import PrototypeIndex
+from effocr_tpu.train import checkpoint as ckpt
+from effocr_tpu.train.losses import cross_entropy_loss, supcon_loss
+from effocr_tpu.train.metrics import MetricsWriter
+
+
+def make_train_step(model, cfg: RecognizerTrainConfig, tx,
+                    classifier_mode: bool, mesh: Optional[Mesh] = None):
+    """Build the jitted (augment -> forward -> loss -> update) step."""
+
+    def step(state, images_u8, targets, is_paired, key):
+        x = augment_batch(
+            images_u8, is_paired, key, lang=cfg.lang,
+            high_blur=cfg.high_blur, no_aug=cfg.no_aug,
+        )
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state["batch_stats"]:
+                variables["batch_stats"] = state["batch_stats"]
+                out, mut = model.apply(
+                    variables, x, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": key},
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                out = model.apply(variables, x, train=True,
+                                  rngs={"dropout": key})
+                new_stats = state["batch_stats"]
+            if classifier_mode:
+                loss = cross_entropy_loss(out, targets)
+            else:
+                loss = supcon_loss(out, targets, cfg.temperature)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state["params"])
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": new_params,
+            "batch_stats": new_stats,
+            "opt_state": new_opt,
+        }
+        return new_state, loss
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(repl, data, data, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class RecognizerTrainer:
+    def __init__(
+        self,
+        cfg: RecognizerTrainConfig,
+        model,
+        run_dir: str,
+        classifier_mode: bool = False,
+        mesh: Optional[Mesh] = None,
+        use_wandb: bool = False,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.run_dir = run_dir
+        self.classifier_mode = classifier_mode
+        self.mesh = mesh
+        os.makedirs(run_dir, exist_ok=True)
+        self.metrics = MetricsWriter(run_dir, use_wandb=use_wandb)
+
+        self.tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        self._step_fn = make_train_step(
+            model, cfg, self.tx, classifier_mode, mesh
+        )
+        self._embed_fn = jax.jit(
+            lambda variables, x: model.apply(variables, x, train=False)
+        )
+        self.state = None
+        self.best_acc = -1.0
+
+    # ----------------------------------------------------------------- init
+    def init_state(self, key: jax.Array, sample_shape=None):
+        size = self.cfg.encoder.image_size
+        x = jnp.zeros((2, size, size, 3), jnp.float32)
+        variables = self.model.init(key, x, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": self.tx.init(params),
+        }
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            self.state = jax.device_put(self.state, repl)
+        return self.state
+
+    @property
+    def variables(self):
+        v = {"params": self.state["params"]}
+        if self.state["batch_stats"]:
+            v["batch_stats"] = self.state["batch_stats"]
+        return v
+
+    # ---------------------------------------------------------------- embed
+    def embed_indices(self, dataset: CharFolderDataset,
+                      indices: Sequence[int], batch_size: int = 128
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Embeddings + labels for dataset items (paired transform path)."""
+        size = self.cfg.encoder.image_size
+        embs, labels = [], []
+        from effocr_tpu.kernels.image_ops import normalize_imagenet
+
+        for s in range(0, len(indices), batch_size):
+            chunk = list(indices[s : s + batch_size])
+            pad = batch_size - len(chunk)
+            imgs, targets, _ = dataset.load_batch(chunk, size)
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+                )
+            x = normalize_imagenet(jnp.asarray(imgs, jnp.float32) / 255.0)
+            out = np.asarray(self._embed_fn(self.variables, x))
+            embs.append(out[: len(chunk)])
+            labels.append(targets)
+        return np.concatenate(embs), np.concatenate(labels)
+
+    # ----------------------------------------------------------------- eval
+    def eval_knn(self, dataset: CharFolderDataset,
+                 query_idx: Sequence[int], ref_idx: Sequence[int]) -> float:
+        """Precision@1 of query items against reference (render) items —
+        tester_knn semantics (train_effocr_recognizer.py:81-102)."""
+        if len(query_idx) == 0 or len(ref_idx) == 0:
+            return 0.0
+        q_emb, q_lab = self.embed_indices(dataset, query_idx)
+        r_emb, r_lab = self.embed_indices(dataset, ref_idx)
+        _, nn_idx = knn_topk(
+            jnp.asarray(q_emb),
+            l2_normalize(jnp.asarray(r_emb)),
+            k=1,
+        )
+        pred = r_lab[np.asarray(nn_idx)[:, 0]]
+        return float((pred == q_lab).mean())
+
+    def eval_classifier(self, dataset: CharFolderDataset,
+                        indices: Sequence[int]) -> float:
+        """Classifier accuracy (tester_ffnn, train_effocr_recognizer.py:105-123)."""
+        logits, labels = self.embed_indices(dataset, indices)
+        return float((logits.argmax(-1) == labels).mean())
+
+    # ------------------------------------------------------------------ fit
+    def fit(
+        self,
+        dataset: CharFolderDataset,
+        idx_train: Sequence[int],
+        idx_val: Sequence[int],
+        render_ref_idx: Sequence[int],
+        hardnegs: Optional[Sequence[str]] = None,
+    ) -> float:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        if self.state is None:
+            self.init_state(key)
+
+        train_labels = [dataset.targets[i] for i in idx_train]
+        local_of_global = {g: i for i, g in enumerate(idx_train)}
+
+        def make_sampler(epoch):
+            if hardnegs:
+                return HardNegativeClassSampler(
+                    train_labels, dataset.class_to_idx, hardnegs,
+                    m=cfg.m_per_class, batch_size=cfg.batch_size,
+                    num_passes=cfg.num_passes, seed=cfg.seed + epoch,
+                )
+            return NoReplacementMPerClassSampler(
+                train_labels, m=cfg.m_per_class, batch_size=cfg.batch_size,
+                num_passes=cfg.num_passes, seed=cfg.seed + epoch,
+            )
+
+        def evaluate():
+            if self.classifier_mode:
+                return self.eval_classifier(dataset, idx_val)
+            return self.eval_knn(dataset, idx_val, render_ref_idx)
+
+        self.best_acc = evaluate()
+        self.metrics.log({"val/accuracy": self.best_acc}, step=0)
+        self._save_best()
+
+        size = cfg.encoder.image_size
+        step = 0
+        for epoch in range(cfg.num_epochs):
+            sampler = make_sampler(epoch)
+            for batch_local in batch_iterator(iter(sampler), cfg.batch_size):
+                global_idx = [idx_train[i] for i in batch_local]
+                imgs, targets, paired = dataset.load_batch(global_idx, size)
+                key, sub = jax.random.split(key)
+                self.state, loss = self._step_fn(
+                    self.state, jnp.asarray(imgs), jnp.asarray(targets),
+                    jnp.asarray(paired), sub,
+                )
+                if step % 50 == 0:
+                    self.metrics.log(
+                        {"train/loss": float(loss)}, step=step
+                    )
+                step += 1
+            acc = evaluate()
+            self.metrics.log({"val/accuracy": acc}, step=step)
+            if acc >= self.best_acc:
+                self.best_acc = acc
+                self._save_best()
+        return self.best_acc
+
+    def _save_best(self):
+        ckpt.save_variables(
+            self.variables, ckpt.best_checkpoint_path(self.run_dir)
+        )
+
+    def load_best(self):
+        path = ckpt.best_checkpoint_path(self.run_dir)
+        self.state = dict(self.state)
+        loaded = ckpt.load_variables(self.variables, path)
+        self.state["params"] = loaded["params"]
+        if "batch_stats" in loaded:
+            self.state["batch_stats"] = loaded["batch_stats"]
+
+    # ------------------------------------------------------------ artifacts
+    def build_ref_index(self, dataset: CharFolderDataset,
+                        render_idx: Sequence[int]) -> PrototypeIndex:
+        """Embed the render prototype set into ref.npz/ref.txt
+        (save_ref_index, train_effocr_recognizer.py:47-62)."""
+        embs, _ = self.embed_indices(dataset, render_idx)
+        chars = [
+            dataset.char_for_path(dataset.data[i][0]) for i in render_idx
+        ]
+        index = PrototypeIndex(embs, chars)
+        index.save(self.run_dir)
+        return index
+
+    def infer_hardneg(self, dataset: CharFolderDataset,
+                      query_idx: Sequence[int], index: PrototypeIndex,
+                      k: int = 8) -> List[str]:
+        """k-NN hard-negative strings, written to hns.txt
+        (infer_hardneg, train_effocr_recognizer.py:25-44)."""
+        q_emb, _ = self.embed_indices(dataset, query_idx)
+        lines = index.decode(q_emb, k=k)
+        with open(os.path.join(self.run_dir, "hns.txt"), "w") as f:
+            f.write("\n".join(lines))
+        return lines

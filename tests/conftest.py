@@ -1,13 +1,14 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Multi-chip TPU hardware is not available in CI; shardings are validated on a
-host-platform mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8),
-mirroring how the driver dry-runs the multi-chip path.
+Sharding tests need a virtual 8-device CPU mesh; the axon TPU harness pins
+the default platform before conftest can change it, but the CPU backend is
+always registered too — so tests grab ``jax.devices("cpu")`` explicitly
+(the ``cpu_devices`` fixture) after forcing the host device count here,
+before JAX initializes.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +19,25 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="session", autouse=True)
+def _pin_cpu_backend():
+    """Run all test computation on the (always-registered) CPU backend:
+    deterministic, no contention with TPU jobs, local compiles."""
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    yield
+
+
+@pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    import jax
+
+    devices = jax.devices("cpu")
+    assert len(devices) >= 8, devices
+    return devices[:8]

@@ -1,0 +1,128 @@
+"""Data layer tests: samplers, charsets, COCO tools, coco_map."""
+
+import numpy as np
+import pytest
+
+from effocr_tpu.data.charsets import harmonize_charset
+from effocr_tpu.data.coco import (
+    combine_coco_jsons,
+    create_coco_anno_entry,
+    create_coco_image_entry,
+    split_coco_json,
+    subset_coco_json,
+    COCO_JSON_SKELETON,
+)
+from effocr_tpu.data.samplers import (
+    HardNegativeClassSampler,
+    NoReplacementMPerClassSampler,
+    batch_iterator,
+)
+from effocr_tpu.eval.coco_map import coco_map
+
+
+def test_m_per_class_sampler_properties():
+    labels = np.repeat(np.arange(20), 10)  # 20 classes x 10 samples
+    sampler = NoReplacementMPerClassSampler(labels, m=4, batch_size=16,
+                                            num_passes=1, seed=0)
+    idx = list(iter(sampler))
+    assert len(idx) == len(sampler)
+    assert len(idx) % 16 == 0
+    # every 4 consecutive samples share a class, 4 distinct classes per batch
+    for s in range(0, len(idx), 16):
+        batch = idx[s : s + 16]
+        for g in range(0, 16, 4):
+            group_labels = {labels[i] for i in batch[g : g + 4]}
+            assert len(group_labels) == 1
+        batch_classes = [labels[batch[g]] for g in range(0, 16, 4)]
+        assert len(set(batch_classes)) == 4
+
+
+def test_m_per_class_sampler_no_replacement_until_exhausted():
+    # samples of a class must stay distinct until its supply is used up
+    # (the epoch may wrap classes after the shuffle cycle, like the
+    # reference's restart at recognizer_samplers.py:45-47)
+    labels = np.repeat(np.arange(8), 12)
+    sampler = NoReplacementMPerClassSampler(labels, m=4, batch_size=8,
+                                            num_passes=1, seed=1)
+    idx = list(iter(sampler))
+    per_class = {}
+    for i in idx:
+        per_class.setdefault(labels[i], []).append(i)
+    for c, items in per_class.items():
+        n_groups = len(items) // 4
+        expected_distinct = min(n_groups * 4, 12)
+        assert len(set(items)) >= expected_distinct - 3  # last group may pad
+
+
+def test_hard_negative_sampler_splices_sets():
+    labels = np.repeat(np.arange(16), 8)
+    class_to_idx = {str(ord(chr(97 + i))): i for i in range(16)}  # a..p
+    hns = ["abcdefgh", "ijklmnop"]
+    sampler = HardNegativeClassSampler(
+        labels, class_to_idx, hns, m=4, batch_size=16, hns_set_size=8,
+        num_passes=1, seed=0,
+    )
+    idx = list(iter(sampler))
+    base = NoReplacementMPerClassSampler(labels, m=4, batch_size=16,
+                                         num_passes=1, seed=0)
+    assert len(idx) == len(base) + 2 * 8 * 4  # two sets x 8 classes x m
+
+
+def test_harmonize_charset_jp():
+    chars = harmonize_charset(["あ", "ッ"], "jp")
+    assert "あ" in chars and "ッ" not in chars
+    assert "0" in chars and "A" in chars and "々" in chars
+
+
+def test_coco_split_combine_subset():
+    coco = dict(COCO_JSON_SKELETON)
+    coco["images"] = [
+        create_coco_image_entry(f"im{i}.png", 32, 100, i, text="x")
+        for i in range(10)
+    ]
+    coco["annotations"] = [
+        create_coco_anno_entry(0, 0, 5, 5, i, i % 10) for i in range(30)
+    ]
+    tr, va, te = split_coco_json(coco, 0.8, 0.1)
+    assert len(tr["images"]) == 8 and len(va["images"]) == 1
+    ids = {im["id"] for s in (tr, va, te) for im in s["images"]}
+    assert len(ids) == 10
+    # annotations follow their images
+    for s in (tr, va, te):
+        img_ids = {im["id"] for im in s["images"]}
+        assert all(a["image_id"] in img_ids for a in s["annotations"])
+
+    merged = combine_coco_jsons(tr, va)
+    assert len(merged["images"]) == 9
+    assert len({im["id"] for im in merged["images"]}) == 9
+
+    sub = subset_coco_json(coco, 3)
+    assert len(sub["images"]) == 3
+
+
+def test_coco_map_perfect_predictions():
+    gt = [{"boxes": [[0, 0, 10, 10], [20, 20, 40, 40]], "classes": [0, 1]}]
+    pred = [{
+        "boxes": [[0, 0, 10, 10], [20, 20, 40, 40]],
+        "classes": [0, 1], "scores": [0.9, 0.8],
+    }]
+    result = coco_map(pred, gt, num_classes=2)
+    assert result["bbox/AP"] == pytest.approx(1.0)
+    assert result["bbox/AP50"] == pytest.approx(1.0)
+
+
+def test_coco_map_false_positive_lowers_precision():
+    gt = [{"boxes": [[0, 0, 10, 10]], "classes": [0]}]
+    pred = [{
+        "boxes": [[0, 0, 10, 10], [50, 50, 60, 60]],
+        "classes": [0, 0], "scores": [0.5, 0.9],  # FP scored higher
+    }]
+    result = coco_map(pred, gt, num_classes=1)
+    assert 0.0 < result["bbox/AP50"] < 1.0
+
+
+def test_coco_map_miss():
+    gt = [{"boxes": [[0, 0, 10, 10]], "classes": [0]}]
+    pred = [{"boxes": np.zeros((0, 4)), "classes": [], "scores": []}]
+    result = coco_map(pred, gt, num_classes=1)
+    assert result["bbox/AP"] == 0.0

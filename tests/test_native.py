@@ -1,0 +1,54 @@
+"""Native preproc library: build, letterbox parity with the host reference,
+crop-square parity with median_pad_square + resize."""
+
+import numpy as np
+import pytest
+
+from effocr_tpu import native
+from effocr_tpu.kernels.image_ops import letterbox_host, median_pad_square
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain"
+)
+
+
+def test_letterbox_batch_matches_host(rng):
+    imgs = [
+        rng.integers(0, 255, (50, 1000, 3)).astype(np.uint8),
+        rng.integers(0, 255, (64, 480, 3)).astype(np.uint8),
+    ]
+    out, ratios, tops, lefts = native.letterbox_batch(imgs, 640)
+    for i, im in enumerate(imgs):
+        ref, r, (dw, dh) = letterbox_host(im, (640, 640))
+        assert ratios[i] == pytest.approx(r, rel=1e-5)
+        assert tops[i] == int(round(dh - 0.1))
+        assert lefts[i] == int(round(dw - 0.1))
+        # bilinear rounding differences between cv2 and ours: allow small
+        # pixel deltas, but geometry (pad regions) must match exactly
+        diff = np.abs(out[i].astype(int) - ref.astype(int))
+        assert (diff <= 2).mean() > 0.99
+        # pad rows exactly 114
+        assert (out[i][: tops[i]] == 114).all()
+
+
+def test_letterbox_identity_no_resize(rng):
+    im = rng.integers(0, 255, (640, 640, 3)).astype(np.uint8)
+    out, ratios, tops, lefts = native.letterbox_batch([im], 640)
+    assert ratios[0] == 1.0
+    np.testing.assert_array_equal(out[0], im)
+
+
+def test_crop_square_batch(rng):
+    im = rng.integers(0, 255, (64, 256, 3)).astype(np.uint8)
+    rects = np.array([[40, 0, 72, 64]], np.int32)
+    out = native.crop_square_batch([im], rects, np.zeros((1,), np.int32),
+                                   out_size=224)
+    crop = im[0:64, 40:72]
+    sq = median_pad_square(crop)  # white pad right/bottom
+    from PIL import Image
+
+    ref = np.asarray(
+        Image.fromarray(sq).resize((224, 224), Image.BILINEAR)
+    )
+    diff = np.abs(out[0].astype(int) - ref.astype(int))
+    assert (diff <= 3).mean() > 0.98

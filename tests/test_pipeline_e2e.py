@@ -1,0 +1,241 @@
+"""End-to-end pipeline test on a synthetic rendered-font corpus.
+
+Builds text-line images by pasting DejaVu glyphs at known positions, a
+prototype index from glyph renders, and runs the full EffOCRInference
+pipeline (NMS -> ordering -> on-device ROI crops -> encoder -> retrieval ->
+postprocess).  The localizer is a stub emitting ground-truth-quality
+predictions so the test isolates pipeline correctness (crop geometry,
+reading order, spaces, decode) from detector training.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+from PIL import Image, ImageDraw, ImageFont
+
+from effocr_tpu.core.config import (
+    EncoderConfig,
+    LocalizerConfig,
+    PipelineConfig,
+)
+from effocr_tpu.kernels.image_ops import letterbox_params, paired_transform_host
+from effocr_tpu.pipelines.infer import EffOCRInference
+from effocr_tpu.retrieval.index import PrototypeIndex
+
+FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+CHARS = list("AbXoTk")
+
+
+class TinyEncoder(nn.Module):
+    """Deterministic cheap embedding: 8x8-avg-pooled grayscale, flattened,
+    projected.  Similar crops -> similar embeddings; enough for 1-NN."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = jnp.mean(x, axis=-1, keepdims=True)
+        g = nn.avg_pool(g, (8, 8), strides=(8, 8))
+        g = g.reshape(g.shape[0], -1)
+        return nn.Dense(64, use_bias=False)(g)
+
+
+class StubLocalizer:
+    """Emits fixed decoded predictions [B, A, 5+nc] fed from test state."""
+
+    def __init__(self, decoded):
+        self.decoded = jnp.asarray(decoded)
+
+    def apply(self, variables, imgs, train=False):
+        b = imgs.shape[0]
+        return self.decoded[:b], None
+
+
+def render_char(ch, size=48):
+    font = ImageFont.truetype(FONT, size)
+    img = Image.new("RGB", (size * 3, size * 3), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    d.text((size, size), ch, (0, 0, 0), font=font)
+    bbox = Image.eval(img.convert("L"), lambda p: 255 - p).getbbox()
+    return img.crop(bbox)
+
+
+def make_line(text, char_h=48, pad=6):
+    """White canvas with glyphs side by side; returns (image, char boxes,
+    word boxes) in original pixel space."""
+    glyphs = [None if c == " " else render_char(c, char_h) for c in text]
+    width = sum((g.width if g else char_h // 2) + pad for g in glyphs) + pad
+    height = char_h + 2 * pad
+    canvas = Image.new("RGB", (width, height), (255, 255, 255))
+    boxes, words = [], []
+    x = pad
+    word_start = None
+    for c, g in zip(text, glyphs):
+        if g is None:
+            if word_start is not None:
+                words.append([word_start, 0, x, height])
+            word_start = None
+            x += char_h // 2 + pad
+            continue
+        if word_start is None:
+            word_start = x
+        y = pad + (char_h - g.height) // 2
+        canvas.paste(g, (x, y))
+        boxes.append([x, y, x + g.width, y + g.height])
+        x += g.width + pad
+    if word_start is not None:
+        words.append([word_start, 0, x, height])
+    return np.asarray(canvas), boxes, words
+
+
+def to_letterbox_space(boxes, h, w, size=640):
+    r, _, (top, _, left, _) = letterbox_params(h, w, (size, size))
+    out = []
+    for x0, y0, x1, y1 in boxes:
+        out.append([x0 * r + left, y0 * r + top, x1 * r + left, y1 * r + top])
+    return out
+
+
+def make_decoded_predictions(lines_boxes, lines_words, metas, a=64, nc=2):
+    """Fake YOLO decoded output: one confident anchor per GT box."""
+    b = len(lines_boxes)
+    pred = np.zeros((b, a, 5 + nc), np.float32)
+    for i, (boxes, words, meta) in enumerate(
+        zip(lines_boxes, lines_words, metas)
+    ):
+        slot = 0
+        for (x0, y0, x1, y1) in boxes:
+            cx, cy, w, h = (x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0
+            pred[i, slot] = [cx, cy, w, h, 0.95, 0.99] + [0.01] * (nc - 1)
+            slot += 1
+        for (x0, y0, x1, y1) in words:
+            cx, cy, w, h = (x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0
+            pred[i, slot] = [cx, cy, w, h, 0.9, 0.01] + [0.99] * (nc - 1)
+            slot += 1
+    return pred
+
+
+@pytest.fixture(scope="module")
+def engine_parts():
+    encoder = TinyEncoder()
+    variables = encoder.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 224, 224, 3))
+    )
+    embed = jax.jit(lambda x: encoder.apply(variables, x, train=False))
+    # prototypes share the pipeline's crop geometry: full line height around
+    # each glyph (an untrained toy encoder has no scale invariance)
+    protos = []
+    for c in CHARS:
+        img, boxes, _ = make_line(c)
+        x0, _, x1, _ = boxes[0]
+        protos.append(paired_transform_host(img[:, x0:x1]))
+    index = PrototypeIndex(
+        np.asarray(embed(jnp.asarray(np.stack(protos)))), CHARS
+    )
+    return encoder, variables, index
+
+
+@pytest.mark.parametrize("crop_source", ["letterbox", "original"])
+def test_pipeline_reads_synthetic_lines(engine_parts, crop_source):
+    encoder, enc_vars, index = engine_parts
+    texts = ["AbX oT", "kXo bA"]
+    lines = [make_line(t) for t in texts]
+    imgs = [l[0] for l in lines]
+    metas = [None] * len(lines)
+    lb_char_boxes = [
+        to_letterbox_space(l[1], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    lb_word_boxes = [
+        to_letterbox_space(l[2], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    decoded = make_decoded_predictions(lb_char_boxes, lb_word_boxes, metas)
+
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                  max_det=64, max_nms=64),
+        encoder=EncoderConfig(arch="tiny"),
+        line_batch=2,
+        crop_batch=32,
+        crop_source=crop_source,
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run(imgs)
+    for i, t in enumerate(texts):
+        assert results[i] == t, (crop_source, results[i], t)
+
+
+def make_vertical_line(text, char_h=48):
+    glyphs = [render_char(c, char_h) for c in text]
+    width = max(g.width for g in glyphs) + 12
+    height = sum(g.height + 8 for g in glyphs) + 8
+    canvas = Image.new("RGB", (width, height), (255, 255, 255))
+    boxes = []
+    y = 8
+    for g in glyphs:
+        x = (width - g.width) // 2
+        canvas.paste(g, (x, y))
+        boxes.append([x, y, x + g.width, y + g.height])
+        y += g.height + 8
+    return np.asarray(canvas), boxes
+
+
+def test_pipeline_jp_vertical(engine_parts):
+    encoder, enc_vars, _ = engine_parts
+    embed = jax.jit(lambda x: encoder.apply(enc_vars, x, train=False))
+    # vertical-geometry prototypes: full line width around each glyph
+    protos = []
+    for c in CHARS:
+        vimg, vboxes = make_vertical_line(c)
+        _, y0, _, y1 = vboxes[0]
+        protos.append(paired_transform_host(vimg[y0:y1, :]))
+    index = PrototypeIndex(
+        np.asarray(embed(jnp.asarray(np.stack(protos)))), CHARS
+    )
+    # vertical "line": glyphs stacked top to bottom
+    char_h = 48
+    glyphs = [render_char(c, char_h) for c in "XoT"]
+    width = max(g.width for g in glyphs) + 12
+    height = sum(g.height + 8 for g in glyphs) + 8
+    canvas = Image.new("RGB", (width, height), (255, 255, 255))
+    boxes = []
+    y = 8
+    for g in glyphs:
+        x = (width - g.width) // 2
+        canvas.paste(g, (x, y))
+        boxes.append([x, y, x + g.width, y + g.height])
+        y += g.height + 8
+    img = np.asarray(canvas)
+    lb_boxes = to_letterbox_space(boxes, img.shape[0], img.shape[1])
+    decoded = make_decoded_predictions([lb_boxes], [[]], [None], nc=1)
+
+    cfg = PipelineConfig(
+        lang="jp", vertical=True,
+        localizer=LocalizerConfig(num_classes=1, conf_thresh=0.35,
+                                  iou_thresh=0.1, max_det=64, max_nms=64),
+        line_batch=1, crop_batch=32,
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run([img])
+    assert results[0] == "XoT"
+
+
+def test_pipeline_empty_line(engine_parts):
+    encoder, enc_vars, index = engine_parts
+    img = np.full((64, 512, 3), 255, np.uint8)
+    decoded = np.zeros((1, 64, 7), np.float32)
+    cfg = PipelineConfig(line_batch=1, crop_batch=32)
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run([img])
+    assert results[0] in (None, "")

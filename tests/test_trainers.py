@@ -1,0 +1,131 @@
+"""Trainer smoke tests: recognizer fit loop on a tiny synthetic char-folder
+tree; localizer train step + eval; checkpoint round-trip; hns artifacts."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image, ImageDraw, ImageFont
+
+from effocr_tpu.core.config import (
+    EncoderConfig,
+    LocalizerConfig,
+    LocalizerTrainConfig,
+    RecognizerTrainConfig,
+)
+from effocr_tpu.data.folder import CharFolderDataset, split_indices
+from effocr_tpu.models import create_encoder, create_localizer
+from effocr_tpu.train.localizer import LocalizerTrainer
+from effocr_tpu.train.recognizer import RecognizerTrainer
+
+FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+CHARS = list("AXo")
+
+
+@pytest.fixture(scope="module")
+def char_tree(tmp_path_factory):
+    """<root>/<ord>/: one 'render' (0x..._idx_font.png) and two PAIRED
+    crops per char, tagged to line stems line0/line1."""
+    root = tmp_path_factory.mktemp("chars")
+    font = ImageFont.truetype(FONT, 40)
+    for c in CHARS:
+        d = root / str(ord(c))
+        d.mkdir()
+        img = Image.new("RGB", (64, 64), (255, 255, 255))
+        ImageDraw.Draw(img).text((12, 8), c, (0, 0, 0), font=font)
+        img.save(d / f"{hex(ord(c))}_0_TestFont-Regular.png")
+        for li in range(2):
+            img2 = Image.new("RGB", (60, 62), (255, 255, 255))
+            ImageDraw.Draw(img2).text((10, 8), c, (20, 20, 20), font=font)
+            img2.save(
+                d / f"PAIRED_line{li}_{li}_{hex(ord(c))}_{li}.png"
+            )
+    return str(root)
+
+
+def test_char_folder_dataset(char_tree):
+    ds = CharFolderDataset(char_tree)
+    assert len(ds) == 9
+    assert len(ds.classes) == 3
+    assert sum(ds.is_paired(i) for i in range(len(ds))) == 6
+    imgs, targets, paired = ds.load_batch(list(range(3)), size=64)
+    assert imgs.shape == (3, 64, 64, 3)
+    # render char decoding from filenames
+    ridx = ds.render_indices("TestFont")[0]
+    assert ds.char_for_path(ds.data[ridx][0]) in CHARS
+
+
+def test_split_indices_leakage(char_tree):
+    ds = CharFolderDataset(char_tree)
+    idx_train, idx_val, idx_test = split_indices(
+        ds, ["line0"], ["line1"], ["line1"]
+    )
+    assert not set(idx_train) & set(idx_val)
+    # train = renders + line0 paired
+    assert len(idx_train) == 3 + 3
+    assert len(idx_val) == 3
+
+
+def test_recognizer_trainer_fit_and_artifacts(char_tree, tmp_path):
+    ds = CharFolderDataset(char_tree)
+    idx_train, idx_val, _ = split_indices(ds, ["line0"], ["line1"], ["line1"])
+    cfg = RecognizerTrainConfig(
+        encoder=EncoderConfig(arch="convnext_atto", image_size=64),
+        batch_size=6, m_per_class=2, num_epochs=1, lr=1e-4, lang="en",
+    )
+    model = create_encoder("convnext_atto", dtype=jnp.float32)
+    run_dir = str(tmp_path / "run")
+    trainer = RecognizerTrainer(cfg, model, run_dir)
+    trainer.init_state(jax.random.PRNGKey(0))
+    acc = trainer.fit(ds, idx_train, idx_val, ds.render_indices())
+    assert 0.0 <= acc <= 1.0
+    assert os.path.exists(os.path.join(run_dir, "enc_best.msgpack"))
+
+    index = trainer.build_ref_index(ds, ds.render_indices())
+    assert os.path.exists(os.path.join(run_dir, "ref.npz"))
+    assert os.path.exists(os.path.join(run_dir, "ref.txt"))
+    assert sorted(index.chars) == sorted(CHARS)
+
+    paired_idx = [i for i in idx_train if ds.is_paired(i)]
+    lines = trainer.infer_hardneg(ds, paired_idx, index, k=3)
+    assert len(lines) == len(paired_idx)
+    assert all(len(l) == 3 for l in lines)
+    assert os.path.exists(os.path.join(run_dir, "hns.txt"))
+
+    # checkpoint round-trip
+    trainer.load_best()
+
+
+def test_localizer_trainer_step_and_eval(tmp_path):
+    cfg = LocalizerTrainConfig(
+        localizer=LocalizerConfig(arch="yolov5n", num_classes=2,
+                                  input_size=128, max_det=32, max_nms=128),
+        batch_size=2,
+    )
+    model = create_localizer("yolov5n", num_classes=2, dtype=jnp.float32)
+    trainer = LocalizerTrainer(cfg, model, str(tmp_path / "loc"),
+                               total_steps=10)
+    trainer.init_state(jax.random.PRNGKey(0), 128)
+
+    imgs = np.zeros((2, 128, 128, 3), np.float32)
+    imgs[:, 40:80, 30:60] = 0.2
+    tgts = np.zeros((2, 8, 5), np.float32)
+    tgts[:, 0] = [0, 45, 60, 30, 40]
+    masks = np.zeros((2, 8), bool)
+    masks[:, 0] = True
+    loss, parts = trainer.train_step(
+        jnp.asarray(imgs), jnp.asarray(tgts), jnp.asarray(masks)
+    )
+    assert np.isfinite(loss)
+    assert set(parts) == {"loss/box", "loss/obj", "loss/cls"}
+
+    gts = [{"boxes": np.array([[30.0, 40, 60, 80]]), "classes": [0]}] * 2
+    result = trainer.evaluate([(imgs, gts)])
+    assert set(result) == {"bbox/AP", "bbox/AP50", "bbox/AP75"}
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "loc"), "best_bbox_mAP.msgpack")
+    )
+    trainer.save("last")
+    assert trainer.resume("last")
