@@ -51,7 +51,13 @@ def load_engine(args) -> EffOCRInference:
     # recognizer
     with open(os.path.join(args.recognizer_dir, "model.json")) as f:
         rec_meta = json.load(f)
-    encoder = create_encoder(rec_meta.get("arch", "convnext_tiny"))
+    if rec_meta.get("num_classes"):
+        from effocr_tpu.models import create_classifier
+
+        encoder = create_classifier(rec_meta.get("arch", "convnext_tiny"),
+                                    rec_meta["num_classes"])
+    else:
+        encoder = create_encoder(rec_meta.get("arch", "convnext_tiny"))
     imsize = rec_meta.get("image_size", 224)
     enc_init = encoder.init(
         jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)), train=False
@@ -60,10 +66,20 @@ def load_engine(args) -> EffOCRInference:
         enc_init, ckpt.best_checkpoint_path(args.recognizer_dir)
     )
 
-    index = PrototypeIndex.load(args.recognizer_dir)
-    print(f"{len(index)} candidate chars!")
-    if args.blacklist_chars:
-        index.blacklist(args.blacklist_chars)
+    # FFNN classifier mode when a class_map.json is present and the model
+    # was trained with a head (infer_effocr_onnx_multi.py:410-411 contract)
+    class_map = None
+    cm_path = os.path.join(args.recognizer_dir, "class_map.json")
+    if rec_meta.get("num_classes") and os.path.exists(cm_path):
+        with open(cm_path) as f:
+            class_map = {int(k): v for k, v in json.load(f).items()}
+        index = None
+        print(f"{len(class_map)} classifier classes!")
+    else:
+        index = PrototypeIndex.load(args.recognizer_dir)
+        print(f"{len(index)} candidate chars!")
+        if args.blacklist_chars:
+            index.blacklist(args.blacklist_chars)
 
     cfg = PipelineConfig(
         lang=args.lang,
@@ -81,7 +97,8 @@ def load_engine(args) -> EffOCRInference:
         spell_check=args.spell_check,
         crop_source=args.crop_source,
     )
-    return EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars, index)
+    return EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
+                           index, class_map=class_map)
 
 
 def main():
@@ -124,7 +141,7 @@ def main():
     engine = load_engine(args)
 
     start = time.time()
-    results = engine.run(coco_images)
+    results, inference_coco = engine.run(coco_images, return_coco=True)
     elapsed = time.time() - start
     print(f"Total time: {elapsed:.2f}s")
     print(f"Average time per image: {elapsed / max(len(coco_images), 1):.4f}s")
@@ -136,6 +153,9 @@ def main():
             json.dump({os.path.basename(str(k)): v
                        for k, v in results.items()}, f, indent=2,
                       ensure_ascii=False)
+        with open(os.path.join(args.save_output,
+                               "inference_coco.json"), "w") as f:
+            json.dump(inference_coco, f, indent=2, ensure_ascii=False)
 
     if coco is not None:
         results_by_name = {

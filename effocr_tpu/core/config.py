@@ -43,8 +43,11 @@ class LocalizerConfig:
     conf_thresh: float = 0.35         # infer_effocr_onnx_multi.py:443
     iou_thresh: float = 0.01          # infer_effocr_onnx_multi.py:441
     max_det: int = 1000               # localizer_engine.py:62 max_det=1000
-    max_nms: int = 4096               # fixed-shape stand-in for max_nms=30000
-                                      # (localizer_engine.py:201); padded top-K
+    max_nms: int = 1024               # fixed-shape stand-in for max_nms=30000
+                                      # (localizer_engine.py:201): masked
+                                      # top-K candidate cap; newspaper lines
+                                      # have <=~300 real candidates, and the
+                                      # NMS IoU matrix is O(max_nms^2) HBM
     class_agnostic: bool = False      # per-class NMS via class offset
                                       # (localizer_engine.py:260-261)
     compute_dtype: str = "bfloat16"

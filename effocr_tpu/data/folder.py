@@ -109,10 +109,25 @@ class CharFolderDataset:
             arr = np.asarray(img)
         return arr
 
-    def load_batch(self, indices: Sequence[int], size: int = 224
+    def load_batch(self, indices: Sequence[int], size: int = 224,
+                   num_workers: int = 16
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(images uint8 [N,size,size,3], targets [N], is_paired [N])."""
-        imgs = np.stack([self.load_square(i, size) for i in indices])
+        """(images uint8 [N,size,size,3], targets [N], is_paired [N]).
+
+        Decodes with a thread pool (PIL releases the GIL in decode), the
+        equivalent of the reference's num_workers=32 DataLoaders
+        (recognizer_datasets.py:170-196)."""
+        if len(indices) >= 8 and num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if not hasattr(self, "_pool"):
+                self._pool = ThreadPoolExecutor(num_workers)
+            imgs = np.stack(
+                list(self._pool.map(lambda i: self.load_square(i, size),
+                                    indices))
+            )
+        else:
+            imgs = np.stack([self.load_square(i, size) for i in indices])
         targets = np.asarray([self.targets[i] for i in indices], np.int32)
         paired = np.asarray([self.is_paired(i) for i in indices], bool)
         return imgs, targets, paired

@@ -38,6 +38,37 @@ from effocr_tpu.pipelines.lang import en_postprocess, en_preprocess, jp_preproce
 from effocr_tpu.retrieval.index import PrototypeIndex
 
 
+def build_inference_coco(coco_boxes: Dict) -> Dict:
+    """COCO-format prediction output: per-line image entries (with decoded
+    text) and per-char box annotations in original-image coordinates
+    (the jp COCO output of infer_effocr.py:558-563, utils/coco_utils.py)."""
+    from effocr_tpu.data.coco import (
+        COCO_JSON_SKELETON,
+        create_coco_anno_entry,
+        create_coco_image_entry,
+    )
+    import copy
+    import os as _os
+
+    coco = copy.deepcopy(COCO_JSON_SKELETON)
+    anno_id = 0
+    for image_id, (key, entry) in enumerate(coco_boxes.items()):
+        name = _os.path.basename(str(key))
+        coco["images"].append(
+            create_coco_image_entry(
+                name, entry["height"], entry["width"], image_id,
+                text=entry["text"],
+            )
+        )
+        for cb in entry["chars"]:
+            x, y, w, h = cb["bbox"]
+            anno = create_coco_anno_entry(x, y, w, h, anno_id, image_id, 0)
+            anno["text"] = cb["char"]
+            coco["annotations"].append(anno)
+            anno_id += 1
+    return coco
+
+
 class EffOCRInference:
     """OCR engine: localizer + recognizer + prototype index.
 
@@ -53,14 +84,22 @@ class EffOCRInference:
         localizer_vars,
         encoder,
         encoder_vars,
-        index: PrototypeIndex,
+        index: Optional[PrototypeIndex] = None,
+        class_map: Optional[Dict[int, str]] = None,
     ):
+        """kNN mode: pass a PrototypeIndex.  FFNN-classifier mode
+        (--N_classes, infer_effocr.py:325-333): pass class_map
+        (class index -> char, the class_map.json contract) and a
+        classifier model whose output is logits."""
         self.config = config
         self.localizer = localizer
         self.localizer_vars = localizer_vars
         self.encoder = encoder
         self.encoder_vars = encoder_vars
         self.index = index
+        self.class_map = class_map
+        self.classifier_mode = class_map is not None
+        assert self.classifier_mode or index is not None
         c = config
 
         @jax.jit
@@ -79,6 +118,14 @@ class EffOCRInference:
             )
             return imgs, boxes, scores, classes, valid
 
+        def _classify(emb, protos, row_mask):
+            if self.classifier_mode:
+                # emb is logits; top-1 class (infer_effocr.py:325-333)
+                idx = jnp.argmax(emb, axis=-1)[:, None]
+                return idx, jnp.take_along_axis(emb, idx, axis=-1)
+            scores, idx = knn_topk(emb, protos, k=c.knn_k, row_mask=row_mask)
+            return idx, scores
+
         @partial(jax.jit, static_argnames=("window",))
         def _recognize(images_f32, rects, img_idx, valid, protos, row_mask,
                        window=256):
@@ -87,14 +134,12 @@ class EffOCRInference:
                 out_size=c.encoder.image_size, window=window,
             )
             emb = self.encoder.apply(self.encoder_vars, crops, train=False)
-            scores, idx = knn_topk(emb, protos, k=c.knn_k, row_mask=row_mask)
-            return idx, scores
+            return _classify(emb, protos, row_mask)
 
         @jax.jit
         def _recognize_direct(crops, protos, row_mask):
             emb = self.encoder.apply(self.encoder_vars, crops, train=False)
-            scores, idx = knn_topk(emb, protos, k=c.knn_k, row_mask=row_mask)
-            return idx, scores
+            return _classify(emb, protos, row_mask)
 
         self._detect = _detect
         self._recognize = _recognize
@@ -137,7 +182,7 @@ class EffOCRInference:
             self._run_chunk(chunk, chunk_keys, results, coco_boxes)
 
         if return_coco:
-            return results, coco_boxes
+            return results, build_inference_coco(coco_boxes)
         return results
 
     def _run_chunk(self, chunk, chunk_keys, results, coco_boxes) -> None:
@@ -254,7 +299,10 @@ class EffOCRInference:
         )
 
         # ---- decode + postprocess --------------------------------------
-        chars = [self.index.chars[j] for j in nn_indices]
+        if self.classifier_mode:
+            chars = [self.class_map.get(int(j), "") for j in nn_indices]
+        else:
+            chars = [self.index.chars[j] for j in nn_indices]
         pos = 0
         for p in per_line:
             lc = chars[pos : pos + p["n_chars"]]
@@ -273,15 +321,34 @@ class EffOCRInference:
 
                 out = visual_spell_checker(out)
             results[p["key"]] = out
-            coco_boxes[p["key"]] = p["boxes"]
+            # boxes back in original-image space for COCO output
+            # (cf. infer_effocr.py:558-563)
+            meta = p["meta"]
+            orig_boxes = []
+            for b, ch in zip(p["boxes"], lc):
+                x0 = max((b[0] - meta["left"]) / meta["r"], 0.0)
+                y0 = max((b[1] - meta["top"]) / meta["r"], 0.0)
+                x1 = min((b[2] - meta["left"]) / meta["r"], meta["w"])
+                y1 = min((b[3] - meta["top"]) / meta["r"], meta["h"])
+                orig_boxes.append(
+                    {"bbox": [x0, y0, x1 - x0, y1 - y0], "char": ch[0]}
+                )
+            coco_boxes[p["key"]] = {
+                "width": meta["w"], "height": meta["h"],
+                "text": out, "chars": orig_boxes,
+            }
 
     def _recognize_crops(self, total, all_rects, all_img_idx, host_crops,
                          imgs_dev) -> np.ndarray:
         c = self.config
         bs = c.crop_batch
         padded = pad_to_multiple(total, bs)
-        protos = self.index.device_embeddings
-        row_mask = self.index.device_mask
+        if self.classifier_mode:
+            protos = jnp.zeros((1, 1), jnp.float32)
+            row_mask = jnp.ones((1,), bool)
+        else:
+            protos = self.index.device_embeddings
+            row_mask = self.index.device_mask
         out: List[np.ndarray] = []
 
         if c.crop_source == "letterbox":
