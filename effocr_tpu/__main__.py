@@ -2,6 +2,9 @@ import sys
 
 
 def main():
+    from effocr_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if len(sys.argv) < 2:
         print(__import__("effocr_tpu.cli", fromlist=["__doc__"]).__doc__)
         sys.exit(1)

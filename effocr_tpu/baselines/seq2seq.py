@@ -219,6 +219,62 @@ def make_seq2seq_train_step(model: Seq2SeqOCR, tx):
     return jax.jit(step, donate_argnums=(0,))
 
 
+@partial(jax.jit, static_argnames=("model", "max_len", "beam_size"))
+def beam_decode(model: Seq2SeqOCR, params, images, max_len: int = 64,
+                beam_size: int = 4):
+    """Fixed-shape beam search (reference config num_beams=4,
+    trocr/train_trocr.py:149-156).  Returns the best beam's tokens
+    [B, max_len-1] (BOS stripped)."""
+    memory = model.apply({"params": params}, images, method=Seq2SeqOCR.encode)
+    b, n_mem, dim = memory.shape
+    k = beam_size
+    # expand memory per beam: [B*K, N, D]
+    mem_k = jnp.repeat(memory, k, axis=0)
+
+    tokens0 = jnp.full((b, k, max_len), PAD, jnp.int32).at[:, :, 0].set(BOS)
+    # only beam 0 live at t=0 (all beams identical otherwise)
+    scores0 = jnp.where(
+        jnp.arange(k)[None, :] == 0, 0.0, NEG_INF_BEAM
+    ) * jnp.ones((b, 1))
+    done0 = jnp.zeros((b, k), bool)
+
+    def body(carry, t):
+        tokens, scores, done = carry
+        logits = model.apply(
+            {"params": params}, mem_k, tokens.reshape(b * k, max_len),
+            method=Seq2SeqOCR.decode_logits,
+        )  # [B*K, T, V]
+        v = logits.shape[-1]
+        logp = jax.nn.log_softmax(
+            logits[:, t].reshape(b, k, v), axis=-1
+        )
+        # finished beams may only extend with PAD at zero cost
+        pad_only = jnp.full((v,), NEG_INF_BEAM).at[PAD].set(0.0)
+        logp = jnp.where(done[:, :, None], pad_only[None, None, :], logp)
+        cand = scores[:, :, None] + logp              # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        top_scores, top_flat = jax.lax.top_k(flat, k)  # [B, K]
+        beam_src = top_flat // v
+        tok = (top_flat % v).astype(jnp.int32)
+        tokens = jnp.take_along_axis(
+            tokens, beam_src[:, :, None], axis=1
+        ).at[:, :, t + 1].set(tok)
+        done = jnp.take_along_axis(done, beam_src, axis=1) | (tok == EOS)
+        return (tokens, top_scores, done), None
+
+    (tokens, scores, _), _ = jax.lax.scan(
+        body, (tokens0, scores0, done0), jnp.arange(max_len - 1)
+    )
+    best = jnp.argmax(scores, axis=1)
+    out = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1
+    )[:, 0]
+    return out[:, 1:]
+
+
+NEG_INF_BEAM = -1e9
+
+
 @partial(jax.jit, static_argnames=("model", "max_len"))
 def greedy_decode(model: Seq2SeqOCR, params, images, max_len: int = 64):
     """Fixed-length greedy decode as a lax.scan (no dynamic shapes)."""

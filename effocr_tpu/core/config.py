@@ -39,6 +39,11 @@ class LocalizerConfig:
 
     arch: str = "yolov5s"
     input_size: int = 640             # localizer_engine.py:17 input_shape
+    # TPU-first rectangular letterbox: text lines are wide, so a square
+    # 640x640 canvas is mostly padding; a (height, input_size) bucket cuts
+    # host->device bytes and detector FLOPs ~input_size/height x.  None =
+    # square (reference semantics).  Must be a stride-32 multiple.
+    input_height: Optional[int] = None
     num_classes: int = 2              # char/word (train_effocr_localizer_d2.py:191-192)
     conf_thresh: float = 0.35         # infer_effocr_onnx_multi.py:443
     iou_thresh: float = 0.01          # infer_effocr_onnx_multi.py:441
@@ -75,7 +80,14 @@ class PipelineConfig:
     # resolution image, byte-matching reference semantics
     # (infer_effocr_onnx_multi.py:307-318).
     crop_source: str = "letterbox"
+    # static ROI slice size; must cover the max crop side in letterbox px
+    # (side = max(char width, line content height)); smaller = fewer MXU
+    # FLOPs in the crop kernel
+    crop_window: int = 256
     knn_k: int = 1
+    # chunks of lines whose detect results may be in flight at once
+    # (host glue of chunk k overlaps device detect of chunk k+1)
+    prefetch_chunks: int = 2
 
 
 @dataclass(frozen=True)

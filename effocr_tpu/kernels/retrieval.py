@@ -27,7 +27,7 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / jnp.maximum(n, eps)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "normalize_queries"))
 def knn_topk(
     queries: jnp.ndarray,
     prototypes: jnp.ndarray,

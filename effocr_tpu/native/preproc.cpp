@@ -75,22 +75,24 @@ void parallel_for(int n, int num_threads, const std::function<void(int)>& fn) {
 
 extern "C" {
 
-// Letterbox a batch of images into out[n, size, size, 3] (uint8, RGB).
+// Letterbox a batch of images into out[n, out_h, out_w, 3] (uint8, RGB).
 // imgs: array of n pointers to HWC uint8 buffers; hs/ws their shapes.
 // Writes the scale ratio and (top, left) content offset per image.
-// Mirrors localizer_engine.py:107-138 with auto=False, scaleup=True.
+// Mirrors localizer_engine.py:107-138 with auto=False, scaleup=True;
+// out_h != out_w gives the TPU-first rectangular line bucket.
 void letterbox_batch(const uint8_t** imgs, const int* hs, const int* ws,
-                     int n, int size, uint8_t pad_val, int num_threads,
-                     uint8_t* out, float* ratios, int* tops, int* lefts) {
-  const size_t plane = static_cast<size_t>(size) * size * 3;
+                     int n, int out_h, int out_w, uint8_t pad_val,
+                     int num_threads, uint8_t* out, float* ratios,
+                     int* tops, int* lefts) {
+  const size_t plane = static_cast<size_t>(out_h) * out_w * 3;
   parallel_for(n, num_threads, [&](int i) {
     const int h = hs[i], w = ws[i];
-    const float r = std::min(static_cast<float>(size) / h,
-                             static_cast<float>(size) / w);
+    const float r = std::min(static_cast<float>(out_h) / h,
+                             static_cast<float>(out_w) / w);
     const int nw = static_cast<int>(std::lround(w * r));
     const int nh = static_cast<int>(std::lround(h * r));
-    const float dw = (size - nw) / 2.0f;
-    const float dh = (size - nh) / 2.0f;
+    const float dw = (out_w - nw) / 2.0f;
+    const float dh = (out_h - nh) / 2.0f;
     const int top = static_cast<int>(std::lround(dh - 0.1f));
     const int left = static_cast<int>(std::lround(dw - 0.1f));
     uint8_t* dst = out + i * plane;
@@ -102,7 +104,7 @@ void letterbox_batch(const uint8_t** imgs, const int* hs, const int* ws,
       resize_bilinear_u8(imgs[i], h, w, resized.data(), nh, nw, 3);
     }
     for (int y = 0; y < nh; ++y) {
-      std::memcpy(dst + ((top + y) * size + left) * 3,
+      std::memcpy(dst + ((top + y) * out_w + left) * 3,
                   resized.data() + static_cast<size_t>(y) * nw * 3,
                   static_cast<size_t>(nw) * 3);
     }

@@ -101,6 +101,12 @@ class EffOCRInference:
         self.classifier_mode = class_map is not None
         assert self.classifier_mode or index is not None
         c = config
+        # the reference-exact original-resolution crop path assumes the
+        # square 640 canvas (x_orig = x_lb * w / 640)
+        assert not (c.crop_source == "original"
+                    and c.localizer.input_height), (
+            "crop_source='original' requires the square letterbox"
+        )
 
         @jax.jit
         def _detect(images_u8):
@@ -141,9 +147,87 @@ class EffOCRInference:
             emb = self.encoder.apply(self.encoder_vars, crops, train=False)
             return _classify(emb, protos, row_mask)
 
+        @jax.jit
+        def _ocr_chunk(images_u8, content_meta, protos, row_mask):
+            """The fully fused fast path: ONE device program per line chunk.
+
+            detect -> NMS -> on-device reading-order sort -> stream-compact
+            char boxes across the chunk -> ROI crops -> encoder -> retrieval.
+            One host->device transfer (uint8 lines) and one device->host pull
+            per chunk — essential when the chip sits behind a high-latency
+            link, and the reason the reference's thread pools (ONNX session
+            round trips per stage) have no equivalent here.
+
+            content_meta [B, 4] int32: (top, left, new_h, new_w).
+            """
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            (decoded, _raw) = self.localizer.apply(
+                self.localizer_vars, imgs, train=False
+            )
+            boxes, scores, classes, valid = decode_and_nms(
+                decoded,
+                conf_thresh=c.localizer.conf_thresh,
+                iou_thresh=c.localizer.iou_thresh,
+                max_nms=c.localizer.max_nms,
+                max_det=c.localizer.max_det,
+                class_agnostic=c.localizer.class_agnostic,
+            )
+            b, m = valid.shape
+            # reading-order key = left (or top) edge, matching the host
+            # en_preprocess/jp_preprocess sort (infer_effocr_onnx_multi.py:72)
+            center = boxes[..., 1] if c.vertical else boxes[..., 0]
+            char_mask = valid & (classes == 0)
+            n_chars = jnp.sum(char_mask, axis=1)
+
+            # global reading-order key: line index major, center minor
+            big = 1e5
+            flat_key = jnp.where(
+                char_mask,
+                jnp.arange(b, dtype=jnp.float32)[:, None] * big + center,
+                jnp.inf,
+            ).reshape(-1)
+            order = jnp.argsort(flat_key)[: c.crop_batch]
+            flat_valid = jnp.take(flat_key, order) < jnp.inf
+            flat_b = (order // m).astype(jnp.int32)
+            flat_boxes = boxes.reshape(-1, 4)[order]
+
+            top = content_meta[:, 0][flat_b]
+            left = content_meta[:, 1][flat_b]
+            nh = content_meta[:, 2][flat_b]
+            nw = content_meta[:, 3][flat_b]
+            rx0 = jnp.round(flat_boxes[:, 0]).astype(jnp.int32)
+            rx1 = jnp.round(flat_boxes[:, 2]).astype(jnp.int32)
+            ry0 = jnp.round(flat_boxes[:, 1]).astype(jnp.int32)
+            ry1 = jnp.round(flat_boxes[:, 3]).astype(jnp.int32)
+            if c.vertical:
+                rects = jnp.stack([left, ry0, left + nw, ry1], axis=1)
+            else:
+                rects = jnp.stack([rx0, top, rx1, top + nh], axis=1)
+
+            crops = crop_lines_to_squares(
+                imgs, rects, flat_b, flat_valid,
+                out_size=c.encoder.image_size,
+                window=min(c.localizer.input_size, c.crop_window),
+            )
+            emb = self.encoder.apply(self.encoder_vars, crops, train=False)
+            nn_idx, _ = _classify(emb, protos, row_mask)
+
+            # per-line word boxes, reading-order sorted (en)
+            word_mask = valid & (classes == 1)
+            word_key = jnp.where(word_mask, center, jnp.inf)
+            worder = jnp.argsort(word_key, axis=1)[:, : c.max_words_per_line]
+            word_boxes = jnp.take_along_axis(
+                boxes, worder[:, :, None], axis=1
+            )
+            word_valid = jnp.take_along_axis(word_key, worder, axis=1) < jnp.inf
+
+            return (n_chars, flat_boxes, flat_valid, nn_idx[:, 0],
+                    word_boxes, word_valid)
+
         self._detect = _detect
         self._recognize = _recognize
         self._recognize_direct = _recognize_direct
+        self._ocr_chunk = _ocr_chunk
 
     # ------------------------------------------------------------------ I/O
     @staticmethod
@@ -176,26 +260,39 @@ class EffOCRInference:
         ]
         raws = [self._load_image(img) for img in images]
 
+        # software-pipelined: detect of chunk k+1 is dispatched (async jax
+        # execution) before host glue + recognize of chunk k runs, so the
+        # device stays busy while Python sorts boxes
+        from collections import deque
+
+        pending = deque()
         for start in range(0, len(raws), c.line_batch):
             chunk = raws[start : start + c.line_batch]
             chunk_keys = keys[start : start + c.line_batch]
-            self._run_chunk(chunk, chunk_keys, results, coco_boxes)
+            pending.append(self._dispatch_chunk(chunk, chunk_keys))
+            if len(pending) >= max(c.prefetch_chunks, 1):
+                self._finish_chunk(pending.popleft(), results, coco_boxes)
+        while pending:
+            self._finish_chunk(pending.popleft(), results, coco_boxes)
 
         if return_coco:
             return results, build_inference_coco(coco_boxes)
         return results
 
-    def _run_chunk(self, chunk, chunk_keys, results, coco_boxes) -> None:
+    def _dispatch_chunk(self, chunk, chunk_keys):
+        """Host letterbox + transfer + async detect dispatch."""
         c = self.config
-        size = c.localizer.input_size
+        size_w = c.localizer.input_size
+        size_h = c.localizer.input_height or size_w
         n = len(chunk)
-        lb_imgs = np.full((c.line_batch, size, size, 3), 114, np.uint8)
+        lb_imgs = np.full((c.line_batch, size_h, size_w, 3), 114, np.uint8)
         metas = []
         from effocr_tpu import native
 
         if native.available():
             out, ratios, tops, lefts = native.letterbox_batch(
-                [np.ascontiguousarray(im) for im in chunk], size
+                [np.ascontiguousarray(im) for im in chunk], size_w,
+                out_h=size_h,
             )
             lb_imgs[:n] = out
             for i, raw in enumerate(chunk):
@@ -208,7 +305,7 @@ class EffOCRInference:
                 )
         else:
             for i, raw in enumerate(chunk):
-                lb, r, (dw, dh) = letterbox_host(raw, (size, size))
+                lb, r, (dw, dh) = letterbox_host(raw, (size_h, size_w))
                 lb_imgs[i] = lb
                 h, w = raw.shape[:2]
                 new_w, new_h = int(round(w * r)), int(round(h * r))
@@ -218,9 +315,36 @@ class EffOCRInference:
                          new_w=new_w)
                 )
 
-        imgs_dev, boxes, scores, classes, valid = self._detect(
-            jnp.asarray(lb_imgs)
-        )
+        if c.crop_source == "letterbox":
+            meta_arr = np.zeros((c.line_batch, 4), np.int32)
+            for i, meta in enumerate(metas):
+                meta_arr[i] = (meta["top"], meta["left"], meta["new_h"],
+                               meta["new_w"])
+            if self.classifier_mode:
+                protos = jnp.zeros((1, 1), jnp.float32)
+                row_mask = jnp.ones((1,), bool)
+            else:
+                protos = self.index.device_embeddings
+                row_mask = self.index.device_mask
+            fused_out = self._ocr_chunk(
+                jnp.asarray(lb_imgs), jnp.asarray(meta_arr), protos, row_mask
+            )
+            return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
+                        fused_out=fused_out)
+
+        detect_out = self._detect(jnp.asarray(lb_imgs))
+        return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
+                    detect_out=detect_out)
+
+    def _finish_chunk(self, handle, results, coco_boxes) -> None:
+        if "fused_out" in handle:
+            return self._finish_fused(handle, results, coco_boxes)
+        c = self.config
+        chunk = handle["chunk"]
+        chunk_keys = handle["chunk_keys"]
+        metas = handle["metas"]
+        n = len(chunk)
+        imgs_dev, boxes, scores, classes, valid = handle["detect_out"]
         boxes = np.asarray(boxes)
         classes = np.asarray(classes)
         valid = np.asarray(valid)
@@ -338,6 +462,74 @@ class EffOCRInference:
                 "text": out, "chars": orig_boxes,
             }
 
+    def _finish_fused(self, handle, results, coco_boxes) -> None:
+        """Host side of the fused path: one device_get, then pure-Python
+        word boundaries + postprocess."""
+        c = self.config
+        metas = handle["metas"]
+        chunk_keys = handle["chunk_keys"]
+        n = len(handle["chunk"])
+        (n_chars, flat_boxes, flat_valid, nn_idx, word_boxes,
+         word_valid) = jax.device_get(handle["fused_out"])
+
+        total = int(flat_valid.sum())
+        if int(n_chars[:n].sum()) > flat_valid.shape[0]:
+            # more chars in this chunk than crop slots; tail lines truncate
+            n_chars = np.minimum(
+                n_chars, np.maximum(flat_valid.shape[0] - np.concatenate(
+                    [[0], np.cumsum(n_chars)[:-1]]), 0)
+            )
+
+        if self.classifier_mode:
+            decode = lambda j: self.class_map.get(int(j), "")
+        else:
+            decode = lambda j: self.index.chars[int(j)]
+
+        pos = 0
+        for i in range(n):
+            k = int(n_chars[i])
+            boxes_i = flat_boxes[pos : pos + k]
+            chars_i = [decode(j) for j in nn_idx[pos : pos + k]]
+            pos += k
+            heights = (boxes_i[:, 3] - boxes_i[:, 1]).tolist()
+            bottoms = boxes_i[:, 3].tolist()
+            text = "".join(x[0] for x in chars_i if x).strip() if k else ""
+
+            if c.lang == "en" and k:
+                wv = word_valid[i]
+                words_i = word_boxes[i][wv].tolist()
+                _, word_end_idx = en_preprocess(
+                    boxes_i.tolist(), words_i, vertical=c.vertical
+                )
+                out = en_postprocess(
+                    text, word_end_idx, heights, bottoms,
+                    anchor_margin=c.anchor_margin,
+                    anchor_multiplier=c.anchor_multiplier,
+                )
+            else:
+                out = text
+            if c.spell_check and out:
+                from effocr_tpu.utils.spell_check import visual_spell_checker
+
+                out = visual_spell_checker(out)
+            results[chunk_keys[i]] = out
+
+            meta = metas[i]
+            orig_boxes = []
+            for b, ch in zip(boxes_i.tolist(), chars_i):
+                x0 = max((b[0] - meta["left"]) / meta["r"], 0.0)
+                y0 = max((b[1] - meta["top"]) / meta["r"], 0.0)
+                x1 = min((b[2] - meta["left"]) / meta["r"], meta["w"])
+                y1 = min((b[3] - meta["top"]) / meta["r"], meta["h"])
+                orig_boxes.append(
+                    {"bbox": [x0, y0, x1 - x0, y1 - y0],
+                     "char": ch[0] if ch else ""}
+                )
+            coco_boxes[chunk_keys[i]] = {
+                "width": meta["w"], "height": meta["h"],
+                "text": out, "chars": orig_boxes,
+            }
+
     def _recognize_crops(self, total, all_rects, all_img_idx, host_crops,
                          imgs_dev) -> np.ndarray:
         c = self.config
@@ -365,7 +557,7 @@ class EffOCRInference:
                     jnp.asarray(img_idx[s : s + bs]),
                     jnp.asarray(vmask[s : s + bs]),
                     protos, row_mask,
-                    window=min(c.localizer.input_size, 384),
+                    window=min(c.localizer.input_size, c.crop_window),
                 )
                 out.append(np.asarray(idx)[:, 0])
         else:
