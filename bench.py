@@ -61,13 +61,16 @@ def main():
     n_lines = int(os.environ.get("BENCH_LINES", "512"))
     lines = make_synthetic_lines(n_lines)
 
+    channels = int(os.environ.get("BENCH_CHANNELS", "1"))
     localizer = create_localizer("yolov5s", num_classes=2)
     loc_vars = localizer.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), train=False
+        jax.random.PRNGKey(0), jnp.zeros((1, 192, 640, channels)),
+        train=False,
     )
     encoder = create_encoder("mobilenetv3_small_050")
     enc_vars = encoder.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, 224, 224, 3)), train=False
+        jax.random.PRNGKey(1), jnp.zeros((1, 224, 224, channels)),
+        train=False,
     )
     # synthetic prototype index, realistic class count (en charset ~ 88;
     # use 1024 to be conservative about the retrieval matmul)
@@ -87,6 +90,7 @@ def main():
         line_batch=64,
         crop_batch=2048,
         crop_window=192,
+        input_channels=channels,
     )
     engine = EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
                              index)

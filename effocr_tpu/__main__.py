@@ -14,6 +14,7 @@ def main():
         "train_recognizer": "effocr_tpu.cli.train_recognizer",
         "train_localizer": "effocr_tpu.cli.train_localizer",
         "train_seq2seq": "effocr_tpu.cli.train_seq2seq",
+        "export": "effocr_tpu.cli.export",
         "infer": "effocr_tpu.cli.infer",
         "viz": "effocr_tpu.cli.viz",
         "coco_split": "effocr_tpu.cli.coco_tools",

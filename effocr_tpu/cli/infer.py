@@ -75,9 +75,46 @@ def load_engine(args) -> EffOCRInference:
             class_map = {int(k): v for k, v in json.load(f).items()}
         index = None
         print(f"{len(class_map)} classifier classes!")
-    else:
+    elif os.path.exists(os.path.join(args.recognizer_dir, "ref.npz")):
         index = PrototypeIndex.load(args.recognizer_dir)
         print(f"{len(index)} candidate chars!")
+        if args.blacklist_chars:
+            index.blacklist(args.blacklist_chars)
+    else:
+        # ad-hoc index from a render tree (the reference's train_knn-on-
+        # the-fly path, infer_effocr.py:190-201)
+        assert args.build_index_from, (
+            "no ref.npz in recognizer_dir; pass --build_index_from "
+            "<char-folder tree> to build an ad-hoc prototype index"
+        )
+        import numpy as _np
+
+        from effocr_tpu.data.folder import CharFolderDataset
+        from effocr_tpu.kernels.image_ops import normalize_imagenet
+
+        ds = CharFolderDataset(args.build_index_from)
+        ridx = ds.render_indices(args.render_font_name)
+        if not ridx:
+            ridx = ds.render_indices()
+        embed = jax.jit(lambda x: encoder.apply(enc_vars, x, train=False))
+        embs = []
+        bs = 128
+        for s in range(0, len(ridx), bs):
+            chunk = ridx[s : s + bs]
+            imgs, _, _ = ds.load_batch(chunk, imsize)
+            pad = bs - len(chunk)
+            if pad:
+                imgs = _np.concatenate(
+                    [imgs, _np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+                )
+            import jax.numpy as _jnp
+
+            x = normalize_imagenet(_jnp.asarray(imgs, _jnp.float32) / 255.0)
+            embs.append(_np.asarray(embed(x))[: len(chunk)])
+        chars = [ds.char_for_path(ds.data[i][0]) for i in ridx]
+        index = PrototypeIndex(_np.concatenate(embs), chars)
+        index.save(args.recognizer_dir)
+        print(f"built ad-hoc index: {len(index)} candidate chars")
         if args.blacklist_chars:
             index.blacklist(args.blacklist_chars)
 
@@ -87,6 +124,7 @@ def load_engine(args) -> EffOCRInference:
         localizer=LocalizerConfig(
             arch=loc_meta.get("arch", "yolov5s"),
             input_size=size,
+            input_height=args.input_height,
             num_classes=loc_meta.get("num_classes", 2),
             conf_thresh=args.localizer_conf_thresh,
             iou_thresh=args.localizer_iou_thresh,
@@ -122,6 +160,13 @@ def main():
     p.add_argument("--n_repeats", type=int, default=1)
     p.add_argument("--crop_source", type=str, default="letterbox",
                    choices=["letterbox", "original"])
+    p.add_argument("--build_index_from", type=str, default=None,
+                   help="char-folder tree for ad-hoc prototype-index build "
+                        "when recognizer_dir has no ref.npz")
+    p.add_argument("--render_font_name", type=str, default=None)
+    p.add_argument("--input_height", type=int, default=None,
+                   help="rectangular letterbox bucket height (stride-32 "
+                        "multiple); default square")
     args = p.parse_args()
 
     if args.infer_over_img_dir:

@@ -53,16 +53,20 @@ def main():
         x = paired_transform_host(raw, imsize)
         emb = np.asarray(embed(jnp.asarray(x[None])))
         _, idx = index.search(emb, k=args.k)
-        # neighbor display: render prototypes are not stored as images in
-        # the index, so show the query alongside the decoded characters
         chars = [index.chars[i] for i in idx[0]]
+        neighbors = []
+        if index.thumbnails is not None:
+            neighbors = [
+                np.repeat(index.thumbnails[i][:, :, None], 3, axis=2)
+                for i in idx[0]
+            ]
         stem = os.path.splitext(os.path.basename(qp))[0]
         true_char = stem.split("_")[-2] if "_" in stem else None
         if true_char and true_char.startswith("0x"):
             true_char = chr(int(true_char, 16))
         correct = (true_char == chars[0]) if true_char else None
         name = f"{stem}_nn_{'-'.join(hex(ord(c)) for c in chars)}.png"
-        save_knn_grid(raw, [], os.path.join(args.out_dir, name),
+        save_knn_grid(raw, neighbors, os.path.join(args.out_dir, name),
                       correct=correct)
         print(f"{stem}: {''.join(chars)}")
 

@@ -80,6 +80,10 @@ class PipelineConfig:
     # resolution image, byte-matching reference semantics
     # (infer_effocr_onnx_multi.py:307-318).
     crop_source: str = "letterbox"
+    # 1 = grayscale pipeline: 3x fewer host->device bytes (the hot-link
+    # bottleneck); printed documents carry no chroma.  Models must be
+    # trained with the same channel count.
+    input_channels: int = 3
     # static ROI slice size; must cover the max crop side in letterbox px
     # (side = max(char width, line content height)); smaller = fewer MXU
     # FLOPs in the crop kernel

@@ -87,9 +87,14 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 
 def normalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
-    """x in [0,1] NHWC -> ImageNet-normalized."""
-    mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
-    std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
+    """x in [0,1] NHWC -> ImageNet-normalized.  Single-channel input uses
+    the channel-averaged constants (grayscale pipelines)."""
+    if x.shape[-1] == 1:
+        mean = jnp.asarray([sum(IMAGENET_MEAN) / 3], dtype=x.dtype)
+        std = jnp.asarray([sum(IMAGENET_STD) / 3], dtype=x.dtype)
+    else:
+        mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
+        std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
     return (x - mean) / std
 
 

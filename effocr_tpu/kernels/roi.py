@@ -84,9 +84,11 @@ def crop_lines_to_squares(
     ch = (y1 - y0).astype(jnp.float32)
     side = jnp.maximum(cw, ch)
 
+    n_channels = images.shape[-1]
+
     def _slice(bi, yi, xi):
         return jax.lax.dynamic_slice(
-            padded, (bi, yi, xi, 0), (1, window, window, 3)
+            padded, (bi, yi, xi, 0), (1, window, window, n_channels)
         )[0]
 
     wins = jax.vmap(_slice)(img_idx.astype(jnp.int32), y0, x0)  # [N,S,S,3]

@@ -49,7 +49,7 @@ def _load():
     lib.letterbox_batch.argtypes = [
         ctypes.POINTER(u8pp), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_uint8, ctypes.c_int, u8pp,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint8, ctypes.c_int, u8pp,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
@@ -67,13 +67,14 @@ def available() -> bool:
     return _load() is not None
 
 
-def _img_ptrs(images: Sequence[np.ndarray]):
+def _img_ptrs(images: Sequence[np.ndarray], channels: int = 3):
     u8pp = ctypes.POINTER(ctypes.c_uint8)
     ptrs = (u8pp * len(images))()
     hs = (ctypes.c_int * len(images))()
     ws = (ctypes.c_int * len(images))()
     for i, im in enumerate(images):
-        assert im.dtype == np.uint8 and im.ndim == 3 and im.shape[2] == 3
+        assert im.dtype == np.uint8 and im.ndim == 3
+        assert im.shape[2] == channels, (im.shape, channels)
         assert im.flags["C_CONTIGUOUS"]
         ptrs[i] = im.ctypes.data_as(u8pp)
         hs[i] = im.shape[0]
@@ -85,19 +86,20 @@ def letterbox_batch(
     images: Sequence[np.ndarray], size: int = 640, pad_val: int = 114,
     num_threads: int = 8, out_h: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """-> (out [N,out_h,size,3] u8, ratios [N] f32, tops [N] i32, lefts [N])."""
+    """-> (out [N,out_h,size,C] u8, ratios [N] f32, tops [N] i32, lefts [N])."""
     lib = _load()
     assert lib is not None, "native preproc unavailable"
     n = len(images)
     oh = out_h or size
-    out = np.empty((n, oh, size, 3), np.uint8)
+    channels = images[0].shape[2]
+    out = np.empty((n, oh, size, channels), np.uint8)
     ratios = np.empty((n,), np.float32)
     tops = np.empty((n,), np.int32)
     lefts = np.empty((n,), np.int32)
-    ptrs, hs, ws = _img_ptrs(images)
+    ptrs, hs, ws = _img_ptrs(images, channels)
     u8pp = ctypes.POINTER(ctypes.c_uint8)
     lib.letterbox_batch(
-        ptrs, hs, ws, n, oh, size, pad_val, num_threads,
+        ptrs, hs, ws, n, oh, size, channels, pad_val, num_threads,
         out.ctypes.data_as(u8pp),
         ratios.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         tops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

@@ -81,10 +81,10 @@ extern "C" {
 // Mirrors localizer_engine.py:107-138 with auto=False, scaleup=True;
 // out_h != out_w gives the TPU-first rectangular line bucket.
 void letterbox_batch(const uint8_t** imgs, const int* hs, const int* ws,
-                     int n, int out_h, int out_w, uint8_t pad_val,
-                     int num_threads, uint8_t* out, float* ratios,
-                     int* tops, int* lefts) {
-  const size_t plane = static_cast<size_t>(out_h) * out_w * 3;
+                     int n, int out_h, int out_w, int channels,
+                     uint8_t pad_val, int num_threads, uint8_t* out,
+                     float* ratios, int* tops, int* lefts) {
+  const size_t plane = static_cast<size_t>(out_h) * out_w * channels;
   parallel_for(n, num_threads, [&](int i) {
     const int h = hs[i], w = ws[i];
     const float r = std::min(static_cast<float>(out_h) / h,
@@ -97,16 +97,16 @@ void letterbox_batch(const uint8_t** imgs, const int* hs, const int* ws,
     const int left = static_cast<int>(std::lround(dw - 0.1f));
     uint8_t* dst = out + i * plane;
     std::memset(dst, pad_val, plane);
-    std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw * 3);
+    std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw * channels);
     if (nh == h && nw == w) {
       std::memcpy(resized.data(), imgs[i], resized.size());
     } else {
-      resize_bilinear_u8(imgs[i], h, w, resized.data(), nh, nw, 3);
+      resize_bilinear_u8(imgs[i], h, w, resized.data(), nh, nw, channels);
     }
     for (int y = 0; y < nh; ++y) {
-      std::memcpy(dst + ((top + y) * out_w + left) * 3,
-                  resized.data() + static_cast<size_t>(y) * nw * 3,
-                  static_cast<size_t>(nw) * 3);
+      std::memcpy(dst + ((top + y) * out_w + left) * channels,
+                  resized.data() + static_cast<size_t>(y) * nw * channels,
+                  static_cast<size_t>(nw) * channels);
     }
     ratios[i] = r;
     tops[i] = top;

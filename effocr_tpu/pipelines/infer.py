@@ -285,7 +285,15 @@ class EffOCRInference:
         size_w = c.localizer.input_size
         size_h = c.localizer.input_height or size_w
         n = len(chunk)
-        lb_imgs = np.full((c.line_batch, size_h, size_w, 3), 114, np.uint8)
+        if c.input_channels == 1:
+            chunk = [
+                im.mean(axis=-1, keepdims=True).astype(np.uint8)
+                if im.shape[-1] != 1 else im
+                for im in chunk
+            ]
+        lb_imgs = np.full(
+            (c.line_batch, size_h, size_w, c.input_channels), 114, np.uint8
+        )
         metas = []
         from effocr_tpu import native
 

@@ -29,7 +29,11 @@ REF_TXT = "ref.txt"
 class PrototypeIndex:
     """[C, D] normalized prototypes + the character each row decodes to."""
 
-    def __init__(self, embeddings: np.ndarray, chars: Sequence[str]):
+    def __init__(self, embeddings: np.ndarray, chars: Sequence[str],
+                 thumbnails: Optional[np.ndarray] = None):
+        """thumbnails: optional uint8 [C, T, T] grayscale previews of the
+        prototype renders, kept for the kNN-grid visualizer
+        (viz_effocr_recognizer.py shows the retrieved render images)."""
         assert embeddings.ndim == 2 and len(chars) == embeddings.shape[0], (
             embeddings.shape,
             len(chars),
@@ -38,6 +42,7 @@ class PrototypeIndex:
             l2_normalize(jnp.asarray(embeddings, jnp.float32))
         )
         self.chars: List[str] = list(chars)
+        self.thumbnails = thumbnails
         self._mask = np.ones((len(chars),), dtype=bool)
         self._device_embeddings = None
         self._device_mask = None
@@ -66,9 +71,10 @@ class PrototypeIndex:
 
     def save(self, dirpath: str) -> None:
         os.makedirs(dirpath, exist_ok=True)
-        np.savez(
-            os.path.join(dirpath, REF_NPZ), embeddings=self.embeddings
-        )
+        arrays = {"embeddings": self.embeddings}
+        if self.thumbnails is not None:
+            arrays["thumbnails"] = self.thumbnails
+        np.savez(os.path.join(dirpath, REF_NPZ), **arrays)
         with open(os.path.join(dirpath, REF_TXT), "w") as f:
             f.write("\n".join(self.chars))
 
@@ -78,7 +84,8 @@ class PrototypeIndex:
         with open(os.path.join(dirpath, REF_TXT)) as f:
             # reference parses with .split() (infer_effocr_onnx_multi.py:503)
             chars = f.read().split()
-        return cls(data["embeddings"], chars)
+        thumbs = data["thumbnails"] if "thumbnails" in data else None
+        return cls(data["embeddings"], chars, thumbnails=thumbs)
 
     # ------------------------------------------------------------- blacklist
     def blacklist(self, chars: Iterable[str]) -> None:

@@ -270,14 +270,20 @@ class RecognizerTrainer:
 
     # ------------------------------------------------------------ artifacts
     def build_ref_index(self, dataset: CharFolderDataset,
-                        render_idx: Sequence[int]) -> PrototypeIndex:
+                        render_idx: Sequence[int],
+                        thumbnail_size: int = 64) -> PrototypeIndex:
         """Embed the render prototype set into ref.npz/ref.txt
-        (save_ref_index, train_effocr_recognizer.py:47-62)."""
+        (save_ref_index, train_effocr_recognizer.py:47-62).  Grayscale
+        thumbnails of each prototype ride along for the kNN visualizer."""
         embs, _ = self.embed_indices(dataset, render_idx)
         chars = [
             dataset.char_for_path(dataset.data[i][0]) for i in render_idx
         ]
-        index = PrototypeIndex(embs, chars)
+        thumbs = np.stack([
+            dataset.load_square(i, thumbnail_size).mean(-1).astype(np.uint8)
+            for i in render_idx
+        ]) if render_idx else None
+        index = PrototypeIndex(embs, chars, thumbnails=thumbs)
         index.save(self.run_dir)
         return index
 
