@@ -91,6 +91,9 @@ def main():
         crop_batch=2048,
         crop_window=192,
         input_channels=channels,
+        # raw-size upload + on-device letterbox: fewest bytes over the link
+        transfer="bucket",
+        bucket_hw=(64, 1152),
     )
     engine = EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
                              index)

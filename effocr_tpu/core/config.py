@@ -84,6 +84,12 @@ class PipelineConfig:
     # bottleneck); printed documents carry no chroma.  Models must be
     # trained with the same channel count.
     input_channels: int = 3
+    # "canvas": host letterboxes to the detector canvas and uploads it.
+    # "bucket": host uploads raw-size images in a small padded bucket and
+    # the letterbox resize runs on the MXU (kernels.image_ops
+    # letterbox_device) — fewer bytes over the host->device link.
+    transfer: str = "canvas"
+    bucket_hw: Tuple[int, int] = (64, 1024)
     # static ROI slice size; must cover the max crop side in letterbox px
     # (side = max(char width, line content height)); smaller = fewer MXU
     # FLOPs in the crop kernel

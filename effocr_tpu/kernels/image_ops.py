@@ -104,6 +104,60 @@ def unnormalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
     return x * std + mean
 
 
+def letterbox_device(
+    images: jnp.ndarray,
+    src_rect: jnp.ndarray,
+    dst_params: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    pad_val: float = 114.0 / 255.0,
+) -> jnp.ndarray:
+    """Per-image letterbox on device via separable interpolation matmuls.
+
+    Lets the host ship raw-size line images in a small padded bucket and
+    resize on the MXU instead of uploading full letterboxed canvases (the
+    host->device link is the pipeline bottleneck).
+
+    images:     [B, Hb, Wb, C] float in [0,1] (bucketed raw images).
+    src_rect:   [B, 4] int32 (y0, x0, h, w) content rect inside the bucket.
+    dst_params: [B, 4] int32 (top, left, new_h, new_w) placement on the
+                canvas (host-computed with the reference rounding,
+                letterbox_params).
+    Returns [B, out_h, out_w, C].
+    """
+    b, hb, wb, _ = images.shape
+    images = images.astype(jnp.float32)
+
+    def axis_matrix(dst_size, src_size_total, d0, dn, s0, sn):
+        # [B, dst_size, src_size_total]: canvas position -> source weight
+        d = jnp.arange(dst_size, dtype=jnp.float32)[None, :]
+        rel = (d - d0[:, None] + 0.5) * (
+            sn[:, None] / jnp.maximum(dn[:, None], 1)
+        ) - 0.5
+        rel = jnp.clip(rel, 0.0, jnp.maximum(sn[:, None] - 1.0, 0.0))
+        src = rel + s0[:, None]
+        in_dst = (d >= d0[:, None]) & (d < d0[:, None] + dn[:, None])
+        s = jnp.arange(src_size_total, dtype=jnp.float32)[None, None, :]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - s))
+        return jnp.where(in_dst[:, :, None], w, 0.0)
+
+    y0 = src_rect[:, 0].astype(jnp.float32)
+    x0 = src_rect[:, 1].astype(jnp.float32)
+    sh = src_rect[:, 2].astype(jnp.float32)
+    sw = src_rect[:, 3].astype(jnp.float32)
+    top = dst_params[:, 0].astype(jnp.float32)
+    left = dst_params[:, 1].astype(jnp.float32)
+    nh = dst_params[:, 2].astype(jnp.float32)
+    nw = dst_params[:, 3].astype(jnp.float32)
+
+    a_y = axis_matrix(out_h, hb, top, nh, y0, sh)
+    a_x = axis_matrix(out_w, wb, left, nw, x0, sw)
+    t = jnp.einsum("bih,bhwc->biwc", a_y, images)
+    out = jnp.einsum("bjw,biwc->bijc", a_x, t)
+    mass = jnp.einsum("bi,bj->bij", a_y.sum(2), a_x.sum(2))
+    return out + (1.0 - mass)[..., None] * pad_val
+
+
 # ---------------------------------------------------------------------------
 # MedianPad square + resize + normalize (the "paired transform")
 # ---------------------------------------------------------------------------

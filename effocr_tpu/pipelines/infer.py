@@ -30,7 +30,12 @@ import numpy as np
 
 from effocr_tpu.core.batching import pad_to_multiple
 from effocr_tpu.core.config import PipelineConfig
-from effocr_tpu.kernels.image_ops import letterbox_host, paired_transform_host
+from effocr_tpu.kernels.image_ops import (
+    letterbox_device,
+    letterbox_host,
+    letterbox_params,
+    paired_transform_host,
+)
 from effocr_tpu.kernels.retrieval import knn_topk, l2_normalize
 from effocr_tpu.kernels.roi import crop_lines_to_squares
 from effocr_tpu.kernels.yolo_decode import decode_and_nms
@@ -147,9 +152,8 @@ class EffOCRInference:
             emb = self.encoder.apply(self.encoder_vars, crops, train=False)
             return _classify(emb, protos, row_mask)
 
-        @jax.jit
-        def _ocr_chunk(images_u8, content_meta, protos, row_mask):
-            """The fully fused fast path: ONE device program per line chunk.
+        def _ocr_from_canvas(imgs, content_meta, protos, row_mask):
+            """Shared fused body: canvas float images -> decoded chars.
 
             detect -> NMS -> on-device reading-order sort -> stream-compact
             char boxes across the chunk -> ROI crops -> encoder -> retrieval.
@@ -160,7 +164,6 @@ class EffOCRInference:
 
             content_meta [B, 4] int32: (top, left, new_h, new_w).
             """
-            imgs = images_u8.astype(jnp.float32) / 255.0
             (decoded, _raw) = self.localizer.apply(
                 self.localizer_vars, imgs, train=False
             )
@@ -224,10 +227,29 @@ class EffOCRInference:
             return (n_chars, flat_boxes, flat_valid, nn_idx[:, 0],
                     word_boxes, word_valid)
 
+        @jax.jit
+        def _ocr_chunk(images_u8, content_meta, protos, row_mask):
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            return _ocr_from_canvas(imgs, content_meta, protos, row_mask)
+
+        @jax.jit
+        def _ocr_chunk_bucket(buckets_u8, src_rect, dst_params,
+                              content_meta, protos, row_mask):
+            """Bucket-transfer variant: raw-size images arrive in a small
+            padded bucket; the letterbox resize runs on the MXU."""
+            size_w = c.localizer.input_size
+            size_h = c.localizer.input_height or size_w
+            canvas = letterbox_device(
+                buckets_u8.astype(jnp.float32) / 255.0,
+                src_rect, dst_params, size_h, size_w,
+            )
+            return _ocr_from_canvas(canvas, content_meta, protos, row_mask)
+
         self._detect = _detect
         self._recognize = _recognize
         self._recognize_direct = _recognize_direct
         self._ocr_chunk = _ocr_chunk
+        self._ocr_chunk_bucket = _ocr_chunk_bucket
 
     # ------------------------------------------------------------------ I/O
     @staticmethod
@@ -291,6 +313,10 @@ class EffOCRInference:
                 if im.shape[-1] != 1 else im
                 for im in chunk
             ]
+
+        if c.transfer == "bucket" and c.crop_source == "letterbox":
+            return self._dispatch_bucket(chunk, chunk_keys, size_h, size_w)
+
         lb_imgs = np.full(
             (c.line_batch, size_h, size_w, c.input_channels), 114, np.uint8
         )
@@ -343,6 +369,61 @@ class EffOCRInference:
         detect_out = self._detect(jnp.asarray(lb_imgs))
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                     detect_out=detect_out)
+
+    def _dispatch_bucket(self, chunk, chunk_keys, size_h, size_w):
+        """Bucket transfer: ship raw-size images; letterbox on device."""
+        c = self.config
+        bh, bw = c.bucket_hw
+        ch = c.input_channels
+        n = len(chunk)
+        buckets = np.zeros((c.line_batch, bh, bw, ch), np.uint8)
+        src_rect = np.zeros((c.line_batch, 4), np.int32)
+        dst_params = np.zeros((c.line_batch, 4), np.int32)
+        meta_arr = np.zeros((c.line_batch, 4), np.int32)
+        metas = []
+        from effocr_tpu import native
+
+        for i, raw in enumerate(chunk):
+            h, w = raw.shape[:2]
+            if h <= bh and w <= bw:
+                buckets[i, :h, :w] = raw
+                r0, sy, sx, sh_, sw_ = 1.0, 0, 0, h, w
+            elif native.available():
+                out, rr, tt, ll = native.letterbox_batch(
+                    [np.ascontiguousarray(raw)], bw, pad_val=0, out_h=bh
+                )
+                buckets[i] = out[0]
+                r0 = float(rr[0])
+                sy, sx = int(tt[0]), int(ll[0])
+                sh_, sw_ = int(round(h * r0)), int(round(w * r0))
+            else:
+                lb, r0, (dw0, dh0) = letterbox_host(raw, (bh, bw), color=0)
+                buckets[i] = lb
+                sy, sx = int(round(dh0 - 0.1)), int(round(dw0 - 0.1))
+                sh_, sw_ = int(round(h * r0)), int(round(w * r0))
+            r1, (nw, nh), (top, _, left, _) = letterbox_params(
+                sh_, sw_, (size_h, size_w)
+            )
+            src_rect[i] = (sy, sx, sh_, sw_)
+            dst_params[i] = (top, left, nh, nw)
+            meta_arr[i] = (top, left, nh, nw)
+            metas.append(
+                dict(h=h, w=w, r=r0 * r1, top=top, left=left, new_h=nh,
+                     new_w=nw)
+            )
+
+        if self.classifier_mode:
+            protos = jnp.zeros((1, 1), jnp.float32)
+            row_mask = jnp.ones((1,), bool)
+        else:
+            protos = self.index.device_embeddings
+            row_mask = self.index.device_mask
+        fused_out = self._ocr_chunk_bucket(
+            jnp.asarray(buckets), jnp.asarray(src_rect),
+            jnp.asarray(dst_params), jnp.asarray(meta_arr), protos, row_mask,
+        )
+        return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
+                    fused_out=fused_out)
 
     def _finish_chunk(self, handle, results, coco_boxes) -> None:
         if "fused_out" in handle:
