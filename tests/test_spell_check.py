@@ -1,0 +1,59 @@
+"""Homoglyph spell-checker goldens (utils/spell_check_utils.py semantics)."""
+
+import pytest
+
+from effocr_tpu.utils.spell_check import (
+    create_common_abbrev,
+    create_homoglyph_dict,
+    create_worddict,
+    depunctuate,
+    is_initial,
+    is_number,
+    majority_normalize,
+    visual_spell_checker,
+)
+
+
+@pytest.fixture(scope="module")
+def dicts():
+    return create_worddict(), create_homoglyph_dict(), create_common_abbrev()
+
+
+def test_homoglyph_word_repair(dicts):
+    wd, sd, ab = dicts
+    assert visual_spell_checker("fhe cat", wd, sd, ab).startswith("the")
+
+
+def test_majority_normalize_digits_in_word(dicts):
+    wd, sd, ab = dicts
+    # majority_normalize takes the FIRST homoglyph ('1' -> 'l'), matching
+    # spell_check_utils.py:107; the dictionary pass upgrades it to 'Main'
+    assert majority_normalize("Ma1n", sd) == "Maln"
+    assert majority_normalize("1l5", sd) == "115"
+    assert majority_normalize("a1", sd) == "a1"  # balanced counts untouched
+    assert visual_spell_checker("Ma1n St", wd, sd, ab).startswith("Main")
+
+
+def test_spell_checker_keeps_numbers_and_caps(dicts):
+    wd, sd, ab = dicts
+    assert visual_spell_checker("1234", wd, sd, ab) == "1234"
+    assert visual_spell_checker("NASA", wd, sd, ab) == "NASA"
+
+
+def test_spell_checker_preserves_splitters(dicts):
+    wd, sd, ab = dicts
+    out = visual_spell_checker("fhe-cat/dog", wd, sd, ab)
+    assert "-" in out and "/" in out
+
+
+def test_abbrev_and_initial(dicts):
+    wd, sd, ab = dicts
+    assert is_initial("J.")
+    assert not is_initial("Jo")
+    assert is_number("1,234")
+    assert depunctuate("a,b.c") == "abc"
+
+
+def test_unfixable_word_unchanged(dicts):
+    wd, sd, ab = dicts
+    assert visual_spell_checker("qqqq", wd, sd, ab) == "qqqq"
