@@ -15,6 +15,7 @@ import time
 from glob import glob
 
 import jax
+import numpy as np
 
 from effocr_tpu.core.config import (
     EncoderConfig,
@@ -167,6 +168,9 @@ def main():
     p.add_argument("--input_height", type=int, default=None,
                    help="rectangular letterbox bucket height (stride-32 "
                         "multiple); default square")
+    p.add_argument("--output_localizer_results", type=str, default=None,
+                   help="directory for detection-overlay images "
+                        "(infer_effocr_onnx_multi.py:292-305)")
     args = p.parse_args()
 
     if args.infer_over_img_dir:
@@ -201,6 +205,32 @@ def main():
         with open(os.path.join(args.save_output,
                                "inference_coco.json"), "w") as f:
             json.dump(inference_coco, f, indent=2, ensure_ascii=False)
+
+    if args.output_localizer_results:
+        from PIL import Image
+
+        from effocr_tpu.utils.viz import draw_boxes
+
+        os.makedirs(args.output_localizer_results, exist_ok=True)
+        annos_by_img = {}
+        for a in inference_coco["annotations"]:
+            annos_by_img.setdefault(a["image_id"], []).append(a)
+        for im_entry in inference_coco["images"]:
+            path = None
+            for k in results:
+                if os.path.basename(str(k)) == im_entry["file_name"]:
+                    path = k
+                    break
+            if not isinstance(path, str):
+                continue
+            img = np.asarray(Image.open(path).convert("RGB"))
+            boxes = [
+                [a["bbox"][0], a["bbox"][1],
+                 a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+                for a in annos_by_img.get(im_entry["id"], [])
+            ]
+            draw_boxes(img, boxes, os.path.join(
+                args.output_localizer_results, im_entry["file_name"]))
 
     if coco is not None:
         results_by_name = {

@@ -26,6 +26,38 @@ from effocr_tpu.train.losses import yolo_loss
 from effocr_tpu.train.metrics import MetricsWriter
 
 
+def fit_anchors(boxes_wh: np.ndarray, n: int = 9, iters: int = 50,
+                seed: int = 0) -> np.ndarray:
+    """k-means anchor fitting over training box (w, h) pairs.
+
+    The reference hand-overrides D2 anchor scales for character detection
+    (train_effocr_localizer_d2.py:200-202); this derives them from data —
+    standard YOLO autoanchor, 1 - IoU(wh, anchor) as the distance.
+    Returns [n, 2] anchors sorted by area (split into 3 scale groups of 3
+    for the detect head).
+    """
+    rng = np.random.default_rng(seed)
+    boxes = np.asarray(boxes_wh, np.float64).reshape(-1, 2)
+    boxes = boxes[(boxes > 1).all(axis=1)]
+    anchors = boxes[rng.choice(len(boxes), size=n, replace=len(boxes) < n)]
+
+    def iou_wh(a, b):
+        inter = np.minimum(a[:, None, 0], b[None, :, 0]) * np.minimum(
+            a[:, None, 1], b[None, :, 1]
+        )
+        union = (a[:, 0] * a[:, 1])[:, None] + (b[:, 0] * b[:, 1])[None, :]
+        return inter / (union - inter + 1e-9)
+
+    for _ in range(iters):
+        assign = np.argmax(iou_wh(boxes, anchors), axis=1)
+        for k in range(n):
+            sel = boxes[assign == k]
+            if len(sel):
+                anchors[k] = np.median(sel, axis=0)
+    order = np.argsort(anchors[:, 0] * anchors[:, 1])
+    return anchors[order].astype(np.float32)
+
+
 def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
                              anchors, mesh: Optional[Mesh] = None):
     def step(state, images, targets, target_mask):

@@ -129,3 +129,18 @@ def test_localizer_trainer_step_and_eval(tmp_path):
     )
     trainer.save("last")
     assert trainer.resume("last")
+
+
+def test_fit_anchors(rng):
+    from effocr_tpu.train.localizer import fit_anchors
+
+    # two clear clusters of box sizes
+    small = rng.normal(loc=(16, 24), scale=1.0, size=(200, 2))
+    large = rng.normal(loc=(80, 40), scale=2.0, size=(200, 2))
+    anchors = fit_anchors(np.concatenate([small, large]), n=6)
+    assert anchors.shape == (6, 2)
+    areas = anchors[:, 0] * anchors[:, 1]
+    assert (np.diff(areas) >= 0).all()  # sorted by area
+    # cluster centers recovered approximately
+    assert np.abs(anchors[0] - [16, 24]).max() < 6
+    assert np.abs(anchors[-1] - [80, 40]).max() < 8
