@@ -13,7 +13,7 @@ from typing import Any, Callable, Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from effocr_tpu.models import convnext, mobilenetv3, vit, yolo
+from effocr_tpu.models import convnext, fcos, mobilenetv3, vit, yolo
 
 Dtype = Any
 
@@ -35,6 +35,10 @@ LOCALIZER_REGISTRY: Dict[str, Callable] = {
     "yolov5n": yolo.yolov5n,
     "yolov5s": yolo.yolov5s,
     "yolov5m": yolo.yolov5m,
+    # anchor-free family (the alternate-backend capability; the reference's
+    # D2/MMDet role) — same decoded layout, drop-in for the pipeline
+    "fcos_n": fcos.fcos_n,
+    "fcos_s": fcos.fcos_s,
 }
 
 

@@ -60,6 +60,9 @@ def fit_anchors(boxes_wh: np.ndarray, n: int = 9, iters: int = 50,
 
 def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
                              anchors, mesh: Optional[Mesh] = None):
+    """anchors=None selects the anchor-free (FCOS) loss; otherwise the
+    YOLOv5 anchor-matching loss."""
+
     def step(state, images, targets, target_mask):
         """images float [B,S,S,3] in [0,1]; targets [B,T,5] (cls,cx,cy,w,h px)."""
 
@@ -70,12 +73,20 @@ def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
                 variables, images, train=True, decode=False,
                 mutable=["batch_stats"],
             )
-            loss, parts = yolo_loss(
-                raw, targets, target_mask, anchors,
-                num_classes=cfg.localizer.num_classes,
-                box_gain=cfg.box_gain, obj_gain=cfg.obj_gain,
-                cls_gain=cfg.cls_gain, anchor_t=cfg.anchor_match_thresh,
-            )
+            if anchors is None:
+                from effocr_tpu.models.fcos import fcos_loss
+
+                loss, parts = fcos_loss(
+                    raw, targets, target_mask,
+                    num_classes=cfg.localizer.num_classes,
+                )
+            else:
+                loss, parts = yolo_loss(
+                    raw, targets, target_mask, anchors,
+                    num_classes=cfg.localizer.num_classes,
+                    box_gain=cfg.box_gain, obj_gain=cfg.obj_gain,
+                    cls_gain=cfg.cls_gain, anchor_t=cfg.anchor_match_thresh,
+                )
             return loss, (mut["batch_stats"], parts)
 
         (loss, (new_stats, parts)), grads = jax.value_and_grad(
@@ -121,7 +132,7 @@ class LocalizerTrainer:
             optax.clip_by_global_norm(10.0),
             optax.adamw(schedule, weight_decay=cfg.weight_decay),
         )
-        self.anchors = model.anchors
+        self.anchors = getattr(model, "anchors", None)
         self._step_fn = make_detector_train_step(
             model, cfg, self.tx, self.anchors, mesh
         )
