@@ -53,10 +53,8 @@ class Seq2SeqDataset:
             np.random.default_rng(seed).shuffle(order)
         for s in range(0, len(order), batch_size):
             idx = order[s : s + batch_size]
-            if len(idx) < batch_size:
-                if drop_last:
-                    break
-                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            if len(idx) < batch_size and drop_last:
+                break
             xs, ids, masks, texts = [], [], [], []
             for i in idx:
                 x, t_ids, t_mask, text = self.load(int(i))
@@ -64,6 +62,12 @@ class Seq2SeqDataset:
                 ids.append(t_ids)
                 masks.append(t_mask)
                 texts.append(text)
+            # pad the tensors to batch_size but report only the real texts,
+            # so eval CER never double-counts wrapped images
+            while len(xs) < batch_size:
+                xs.append(np.zeros_like(xs[0]))
+                ids.append(np.zeros_like(ids[0]))
+                masks.append(np.zeros_like(masks[0]))
             yield (np.stack(xs), np.stack(ids), np.stack(masks), texts)
 
 

@@ -61,7 +61,8 @@ def main():
         json.dump(vars(args), f, indent=2)
     # model identity for the inference loader (cli/infer.py load_engine)
     with open(os.path.join(args.run_name, "model.json"), "w") as f:
-        json.dump({"arch": args.auto_model, "image_size": args.imsize}, f)
+        json.dump({"arch": args.auto_model, "image_size": args.imsize,
+                   "num_classes": args.N_classes}, f)
 
     cfg = RecognizerTrainConfig(
         encoder=EncoderConfig(

@@ -54,6 +54,10 @@ class DetectionDataset:
         size = self.input_size
         lb, r, (dw, dh) = letterbox_host(img, (size, size))
         x = lb.astype(np.float32) / 255.0
+        # the image content is pasted at the ROUNDED offsets
+        # (letterbox rounding, localizer_engine.py:135-136); targets must
+        # use the same offsets or every box carries a sub-pixel skew
+        top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
 
         targets = np.zeros((self.max_targets, 5), np.float32)
         mask = np.zeros((self.max_targets,), bool)
@@ -62,8 +66,8 @@ class DetectionDataset:
             if t >= self.max_targets:
                 break
             bx, by, bw, bh = a["bbox"]
-            cx = (bx + bw / 2) * r + dw
-            cy = (by + bh / 2) * r + dh
+            cx = (bx + bw / 2) * r + left
+            cy = (by + bh / 2) * r + top
             targets[t] = [a["category_id"], cx, cy, bw * r, bh * r]
             mask[t] = True
             gt_boxes.append(
@@ -85,15 +89,13 @@ class DetectionDataset:
         size = self.input_size
         for s in range(0, len(order), batch_size):
             idx = order[s : s + batch_size]
-            if len(idx) < batch_size:
-                if drop_last:
-                    break
-                idx = np.concatenate(
-                    [idx, order[: batch_size - len(idx)]]
-                )
+            if len(idx) < batch_size and drop_last:
+                break
             imgs = np.zeros((batch_size, size, size, 3), np.float32)
             tgts = np.zeros((batch_size, self.max_targets, 5), np.float32)
             masks = np.zeros((batch_size, self.max_targets), bool)
+            # pad slots carry no gt entry — gts length marks the valid
+            # prefix, so eval never double-counts images
             gts = []
             for j, ii in enumerate(idx):
                 imgs[j], tgts[j], masks[j], gt = self.load(int(ii))

@@ -156,7 +156,7 @@ def augment_batch(
 
     plain = x
     b, size = x.shape[0], x.shape[1]
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 16)
 
     # random affine
     if lang == "en":
@@ -169,10 +169,11 @@ def augment_batch(
     a_y, a_x = _affine_matrix(size, scale, tx, ty)
     x = _per_sample_apply(0.7, keys[3], _apply_affine(x, a_y, a_x), x)
 
-    # color shift: bright pixels -> random color
+    # color shift: bright pixels -> random color (apply mask drawn from its
+    # own key — sharing a key with the color would correlate them)
     color = jax.random.uniform(keys[4], (b, 1, 1, 3))
     shifted = jnp.where(x >= 0.8, jnp.broadcast_to(color, x.shape), x)
-    x = _per_sample_apply(0.25, keys[4], shifted, x)
+    x = _per_sample_apply(0.25, keys[12], shifted, x)
 
     # color jitter
     jk = jax.random.split(keys[5], 5)
@@ -195,17 +196,17 @@ def augment_batch(
 
     # gaussian noise (uint8-scale variance 10..150)
     var = jax.random.uniform(keys[8], (b, 1, 1, 1), minval=10.0, maxval=150.0)
-    noise = jax.random.normal(keys[8], x.shape) * jnp.sqrt(var) / 255.0
+    noise = jax.random.normal(keys[13], x.shape) * jnp.sqrt(var) / 255.0
     x = _per_sample_apply(0.25, keys[9], jnp.clip(x + noise, 0.0, 1.0), x)
 
-    # gaussian blur
+    # gaussian blur (sigma and apply mask on independent keys)
     if high_blur:
         sig = jax.random.uniform(keys[10], (b,), minval=1.0, maxval=4.0)
         blurred = _separable_blur(x, sig, 15)
     else:
         sig = jax.random.uniform(keys[10], (b,), minval=0.1, maxval=2.0)
         blurred = _separable_blur(x, sig, 11)
-    x = _per_sample_apply(0.3, keys[10], blurred, x)
+    x = _per_sample_apply(0.3, keys[14], blurred, x)
 
     # random grayscale
     x = _per_sample_apply(

@@ -59,6 +59,7 @@ def letterbox_host(
     import cv2
 
     h, w = im.shape[:2]
+    channels = im.shape[2] if im.ndim == 3 else 1
     r, new_unpad, (top, bottom, left, right) = letterbox_params(
         h, w, new_shape, scaleup
     )
@@ -66,8 +67,11 @@ def letterbox_host(
         im = cv2.resize(im, new_unpad, interpolation=cv2.INTER_LINEAR)
     im = cv2.copyMakeBorder(
         im, top, bottom, left, right, cv2.BORDER_CONSTANT,
-        value=(color, color, color),
+        value=(color,) * 3,
     )
+    if im.ndim == 2 and channels == 1:
+        # cv2 drops the channel dim of single-channel images
+        im = im[:, :, None]
     dw = (new_shape[1] - new_unpad[0]) / 2
     dh = (new_shape[0] - new_unpad[1]) / 2
     return im, r, (dw, dh)

@@ -78,8 +78,11 @@ def crop_lines_to_squares(
     rects = rects.astype(jnp.int32)
     x0 = jnp.clip(rects[:, 0], 0, w - 1)
     y0 = jnp.clip(rects[:, 1], 0, h - 1)
-    x1 = jnp.clip(rects[:, 2], x0 + 1, w)
-    y1 = jnp.clip(rects[:, 3], y0 + 1, h)
+    # clamp the crop extent to the static window: an oversized rect loses
+    # its far edge rather than sampling zero-weight (black) rows beyond the
+    # slice — callers should size `window` >= the max expected crop side
+    x1 = jnp.clip(rects[:, 2], x0 + 1, jnp.minimum(w, x0 + window))
+    y1 = jnp.clip(rects[:, 3], y0 + 1, jnp.minimum(h, y0 + window))
     cw = (x1 - x0).astype(jnp.float32)
     ch = (y1 - y0).astype(jnp.float32)
     side = jnp.maximum(cw, ch)

@@ -487,15 +487,18 @@ class EffOCRInference:
                     all_rects.append(rect)
                     all_img_idx.append(i)
                 else:
-                    # reference-exact original-resolution crop
+                    # reference-exact original-resolution crop; the
+                    # reference divides by its square canvas size
+                    # (infer_effocr_onnx_multi.py:314-316 uses 640)
                     raw = chunk[i]
+                    canvas = c.localizer.input_size
                     if c.vertical:
-                        y0 = int(round(round(b[1]) * meta["h"] / 640))
-                        y1 = int(round(round(b[3]) * meta["h"] / 640))
+                        y0 = int(round(round(b[1]) * meta["h"] / canvas))
+                        y1 = int(round(round(b[3]) * meta["h"] / canvas))
                         crop = raw[y0:y1, :, :]
                     else:
-                        x0 = int(round(round(b[0]) * meta["w"] / 640))
-                        x1 = int(round(round(b[2]) * meta["w"] / 640))
+                        x0 = int(round(round(b[0]) * meta["w"] / canvas))
+                        x1 = int(round(round(b[2]) * meta["w"] / canvas))
                         crop = raw[:, x0:x1, :]
                     if crop.size == 0:
                         crop = np.zeros((4, 4, 3), np.uint8)

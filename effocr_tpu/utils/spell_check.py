@@ -15,9 +15,10 @@ point at a real frequency list).
 
 from __future__ import annotations
 
+import functools
 import re
 import string
-from typing import Dict, List, Optional, Sequence, Set
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 _BUILTIN_FREQS = """the 23135851162 of 13151942776 and 12997637966 to 12136980858
 a 9081174698 in 8469404971 for 5933321709 is 4705743816 on 3750423199
@@ -161,6 +162,16 @@ def create_common_abbrev() -> Set[str]:
     return set(COMMON_ABBREVS)
 
 
+@functools.lru_cache(maxsize=4)
+def default_dicts(
+    dictionary_path: Optional[str] = None,
+) -> Tuple[Dict[str, int], Dict[str, List[str]], Set[str]]:
+    """Cached (worddict, homoglyphs, abbrevs) — the spell checker is called
+    once per decoded line on the inference hot path."""
+    return (create_worddict(dictionary_path), create_homoglyph_dict(),
+            create_common_abbrev())
+
+
 def is_number(s: str) -> bool:
     return depunctuate(s).isdigit()
 
@@ -225,12 +236,11 @@ def visual_spell_checker(
 ) -> str:
     """Beam search over homoglyph substitutions per word
     (spell_check_utils.py:155-245)."""
-    if worddict is None:
-        worddict = create_worddict()
-    if vsim_dict is None:
-        vsim_dict = create_homoglyph_dict()
-    if abbrevset is None:
-        abbrevset = create_common_abbrev()
+    if worddict is None or vsim_dict is None or abbrevset is None:
+        wd, sd, ab = default_dicts()
+        worddict = worddict or wd
+        vsim_dict = vsim_dict or sd
+        abbrevset = abbrevset or ab
 
     splitters = _SPLITTER_PATTERN[1:-1].split("|")
     out_words: List[str] = []
