@@ -16,6 +16,7 @@ from effocr_tpu.baselines.data import Seq2SeqDataset, charset_from_coco
 from effocr_tpu.baselines.seq2seq import (
     CharTokenizer,
     Seq2SeqOCR,
+    beam_decode,
     greedy_decode,
     make_seq2seq_train_step,
 )
@@ -37,6 +38,9 @@ def main():
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--img_h", type=int, default=64)
     p.add_argument("--img_w", type=int, default=512)
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="beam width for eval decode (reference default 4, "
+                        "trocr/train_trocr.py:149-156); 1 = greedy")
     args = p.parse_args()
 
     os.makedirs(args.run_name, exist_ok=True)
@@ -77,8 +81,13 @@ def main():
         for xs, _, _, texts in val_ds.batches(args.batch_size,
                                               shuffle=False,
                                               drop_last=False):
-            out = greedy_decode(model, state["params"], jnp.asarray(xs),
-                                max_len=args.max_len)
+            if args.num_beams > 1:
+                out = beam_decode(model, state["params"], jnp.asarray(xs),
+                                  max_len=args.max_len,
+                                  beam_size=args.num_beams)
+            else:
+                out = greedy_decode(model, state["params"], jnp.asarray(xs),
+                                    max_len=args.max_len)
             for row, gt in zip(np.asarray(out), texts):
                 pairs.append((gt, tok.decode(row)))
         acc, cer = textline_evaluation(pairs)

@@ -126,3 +126,12 @@ def test_coco_map_miss():
     pred = [{"boxes": np.zeros((0, 4)), "classes": [], "scores": []}]
     result = coco_map(pred, gt, num_classes=1)
     assert result["bbox/AP"] == 0.0
+
+
+def test_builtin_charsets(tmp_path):
+    from effocr_tpu.data.builtin_charsets import write_charset_dir
+    from effocr_tpu.data.charsets import load_charset_dir
+
+    write_charset_dir(str(tmp_path))
+    chars = load_charset_dir(str(tmp_path))
+    assert "a" in chars and "Z" in chars and "9" in chars and "." in chars
