@@ -58,13 +58,14 @@ def main():
     from effocr_tpu.pipelines.infer import EffOCRInference
     from effocr_tpu.retrieval.index import PrototypeIndex
 
-    n_lines = int(os.environ.get("BENCH_LINES", "512"))
+    line_batch = int(os.environ.get("BENCH_LINE_BATCH", "256"))
+    n_lines = int(os.environ.get("BENCH_LINES", str(4 * line_batch)))
     lines = make_synthetic_lines(n_lines)
 
     channels = int(os.environ.get("BENCH_CHANNELS", "1"))
     localizer = create_localizer("yolov5s", num_classes=2)
     loc_vars = localizer.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 192, 640, channels)),
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 640, channels)),
         train=False,
     )
     encoder = create_encoder("mobilenetv3_small_050")
@@ -82,18 +83,22 @@ def main():
 
     cfg = PipelineConfig(
         lang="en",
-        # rectangular line bucket: 192x640 covers aspect ratios >= 0.3 at
-        # full width and cuts transfer + detector FLOPs 3.3x vs 640x640
+        # adaptive rectangular canvas: text lines are width-bound, so the
+        # chunk's canvas height shrinks to the smallest stride-32 tier that
+        # holds the content (64 px for newspaper-aspect lines) — same
+        # letterbox geometry as a 192x640 canvas but 3x fewer bytes over
+        # the host->device link and 3x fewer detector pixels
         localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.01,
                                   input_height=192),
         encoder=EncoderConfig(arch="mobilenetv3_small_050"),
-        line_batch=64,
-        crop_batch=2048,
-        crop_window=192,
+        adaptive_height=True,
+        line_batch=line_batch,
+        crop_batch=24 * line_batch,
+        encoder_sub_batch=min(2048, 24 * line_batch),
+        crop_window=96,
         input_channels=channels,
-        # raw-size upload + on-device letterbox: fewest bytes over the link
-        transfer="bucket",
-        bucket_hw=(64, 1152),
+        transfer="canvas",
+        prefetch_chunks=2,
     )
     engine = EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
                              index)
@@ -101,11 +106,18 @@ def main():
     # warmup (compile)
     engine.run(lines[: cfg.line_batch])
 
-    start = time.time()
-    results = engine.run(lines)
-    elapsed = time.time() - start
-
-    lines_per_sec = len(lines) / elapsed
+    # median of N runs: the TPU sits behind a shared relay whose
+    # throughput varies run to run; a single sample is noise
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    samples = []
+    for _ in range(repeats):
+        start = time.time()
+        results = engine.run(lines)
+        samples.append(len(lines) / (time.time() - start))
+    lines_per_sec = float(np.median(samples))
+    print(
+        f"# samples: {[round(s, 1) for s in samples]}", file=sys.stderr
+    )
     target_per_chip = 5000.0 / 8.0
     print(json.dumps({
         "metric": "textline_images_per_sec_per_chip",

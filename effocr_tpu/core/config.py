@@ -90,10 +90,26 @@ class PipelineConfig:
     # letterbox_device) — fewer bytes over the host->device link.
     transfer: str = "canvas"
     bucket_hw: Tuple[int, int] = (64, 1024)
+    # Adaptive canvas height: per line-chunk, shrink the letterbox canvas
+    # height to the smallest stride-32 tier that holds every line's
+    # width-bound content height (capped by input_height/input_size).
+    # Text lines are ~15-25x wider than tall, so the fixed-height canvas is
+    # mostly 114-gray padding; a 64x640 canvas moves 3x fewer bytes over
+    # the host->device link and runs the detector on 3x fewer pixels than
+    # 192x640 with identical letterbox geometry (the content pixels are the
+    # same; r = min(canvas_h/h, canvas_w/w) still binds on width).  Each
+    # distinct tier compiles one program variant; tiers are multiples of 32.
+    adaptive_height: bool = False
     # static ROI slice size; must cover the max crop side in letterbox px
     # (side = max(char width, line content height)); smaller = fewer MXU
     # FLOPs in the crop kernel
     crop_window: int = 256
+    # When set, the fused program runs the encoder over crop_batch crops in
+    # sequential sub-batches of this size (lax.map) instead of one pass —
+    # same FLOPs and one device dispatch, but peak activation memory is
+    # bounded by the sub-batch, which lets line_batch/crop_batch grow to
+    # amortize per-dispatch link latency without exhausting HBM.
+    encoder_sub_batch: Optional[int] = None
     knn_k: int = 1
     # chunks of lines whose detect results may be in flight at once
     # (host glue of chunk k overlaps device detect of chunk k+1)

@@ -19,6 +19,7 @@ reference's infer_effocr_onnx_multi.py:307-318 semantics).
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from functools import partial
@@ -41,6 +42,8 @@ from effocr_tpu.kernels.roi import crop_lines_to_squares
 from effocr_tpu.kernels.yolo_decode import decode_and_nms
 from effocr_tpu.pipelines.lang import en_postprocess, en_preprocess, jp_preprocess
 from effocr_tpu.retrieval.index import PrototypeIndex
+
+logger = logging.getLogger(__name__)
 
 
 def build_inference_coco(coco_boxes: Dict) -> Dict:
@@ -106,12 +109,6 @@ class EffOCRInference:
         self.classifier_mode = class_map is not None
         assert self.classifier_mode or index is not None
         c = config
-        # the reference-exact original-resolution crop path assumes the
-        # square 640 canvas (x_orig = x_lb * w / 640)
-        assert not (c.crop_source == "original"
-                    and c.localizer.input_height), (
-            "crop_source='original' requires the square letterbox"
-        )
 
         @jax.jit
         def _detect(images_u8):
@@ -182,15 +179,24 @@ class EffOCRInference:
             char_mask = valid & (classes == 0)
             n_chars = jnp.sum(char_mask, axis=1)
 
-            # global reading-order key: line index major, center minor
-            big = 1e5
+            # global reading-order key: line index major, edge coordinate
+            # minor, composed in int32 (a float32 composite key loses
+            # sub-pixel resolution once line_idx*scale exceeds 2^23 and can
+            # swap tightly packed chars on late lines).  Edge is quantized
+            # to 1/16 px: 18 bits cover canvases up to 16384 px wide, and
+            # line_idx (< 2^12) sits above, so the key never overflows and
+            # never reaches the int32-max invalid sentinel.
+            invalid = jnp.iinfo(jnp.int32).max
+            edge_q = jnp.clip(
+                jnp.round(center * 16.0), 0, (1 << 18) - 1
+            ).astype(jnp.int32)
             flat_key = jnp.where(
                 char_mask,
-                jnp.arange(b, dtype=jnp.float32)[:, None] * big + center,
-                jnp.inf,
+                jnp.arange(b, dtype=jnp.int32)[:, None] * (1 << 18) + edge_q,
+                invalid,
             ).reshape(-1)
             order = jnp.argsort(flat_key)[: c.crop_batch]
-            flat_valid = jnp.take(flat_key, order) < jnp.inf
+            flat_valid = jnp.take(flat_key, order) < invalid
             flat_b = (order // m).astype(jnp.int32)
             flat_boxes = boxes.reshape(-1, 4)[order]
 
@@ -212,7 +218,20 @@ class EffOCRInference:
                 out_size=c.encoder.image_size,
                 window=min(c.localizer.input_size, c.crop_window),
             )
-            emb = self.encoder.apply(self.encoder_vars, crops, train=False)
+            sub = c.encoder_sub_batch
+            if sub and c.crop_batch > sub:
+                assert c.crop_batch % sub == 0, (c.crop_batch, sub)
+                emb = jax.lax.map(
+                    lambda x: self.encoder.apply(
+                        self.encoder_vars, x, train=False
+                    ),
+                    crops.reshape(c.crop_batch // sub, sub, *crops.shape[1:]),
+                )
+                emb = emb.reshape(c.crop_batch, emb.shape[-1])
+            else:
+                emb = self.encoder.apply(
+                    self.encoder_vars, crops, train=False
+                )
             nn_idx, _ = _classify(emb, protos, row_mask)
 
             # per-line word boxes, reading-order sorted (en)
@@ -232,13 +251,15 @@ class EffOCRInference:
             imgs = images_u8.astype(jnp.float32) / 255.0
             return _ocr_from_canvas(imgs, content_meta, protos, row_mask)
 
-        @jax.jit
+        @partial(jax.jit, static_argnames=("size_h",))
         def _ocr_chunk_bucket(buckets_u8, src_rect, dst_params,
-                              content_meta, protos, row_mask):
+                              content_meta, protos, row_mask,
+                              size_h=None):
             """Bucket-transfer variant: raw-size images arrive in a small
             padded bucket; the letterbox resize runs on the MXU."""
             size_w = c.localizer.input_size
-            size_h = c.localizer.input_height or size_w
+            if size_h is None:
+                size_h = c.localizer.input_height or size_w
             canvas = letterbox_device(
                 buckets_u8.astype(jnp.float32) / 255.0,
                 src_rect, dst_params, size_h, size_w,
@@ -282,30 +303,57 @@ class EffOCRInference:
         ]
         raws = [self._load_image(img) for img in images]
 
-        # software-pipelined: detect of chunk k+1 is dispatched (async jax
-        # execution) before host glue + recognize of chunk k runs, so the
-        # device stays busy while Python sorts boxes
+        # software-pipelined two ways: (1) jax dispatch is async, so the
+        # device runs chunk k while the host post-processes k-1; (2) host
+        # prep (letterbox + transfer) of chunk k+1 runs on a worker thread,
+        # overlapping with both — the host->device link and the host glue
+        # would otherwise serialize with device compute.  A single worker
+        # preserves device-queue submission order.
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         pending = deque()
-        for start in range(0, len(raws), c.line_batch):
-            chunk = raws[start : start + c.line_batch]
-            chunk_keys = keys[start : start + c.line_batch]
-            pending.append(self._dispatch_chunk(chunk, chunk_keys))
-            if len(pending) >= max(c.prefetch_chunks, 1):
-                self._finish_chunk(pending.popleft(), results, coco_boxes)
-        while pending:
-            self._finish_chunk(pending.popleft(), results, coco_boxes)
+        with ThreadPoolExecutor(max_workers=1) as prep:
+            for start in range(0, len(raws), c.line_batch):
+                chunk = raws[start : start + c.line_batch]
+                chunk_keys = keys[start : start + c.line_batch]
+                pending.append(
+                    prep.submit(self._dispatch_chunk, chunk, chunk_keys)
+                )
+                if len(pending) >= max(c.prefetch_chunks, 1):
+                    self._finish_chunk(
+                        pending.popleft().result(), results, coco_boxes
+                    )
+            while pending:
+                self._finish_chunk(
+                    pending.popleft().result(), results, coco_boxes
+                )
 
         if return_coco:
             return results, build_inference_coco(coco_boxes)
         return results
 
+    def _chunk_canvas_height(self, chunk) -> int:
+        """Smallest stride-32 canvas height holding every line's width-bound
+        content height (see PipelineConfig.adaptive_height).  Lines taller
+        than the cap are height-bound at the cap, exactly as with a fixed
+        canvas."""
+        c = self.config
+        size_w = c.localizer.input_size
+        cap = c.localizer.input_height or size_w
+        if not c.adaptive_height or c.vertical:
+            return cap
+        need = 32
+        for raw in chunk:
+            h, w = raw.shape[:2]
+            need = max(need, min(cap, int(np.ceil(h * size_w / w))))
+        return min(cap, -(-need // 32) * 32)
+
     def _dispatch_chunk(self, chunk, chunk_keys):
         """Host letterbox + transfer + async detect dispatch."""
         c = self.config
         size_w = c.localizer.input_size
-        size_h = c.localizer.input_height or size_w
+        size_h = self._chunk_canvas_height(chunk)
         n = len(chunk)
         if c.input_channels == 1:
             chunk = [
@@ -421,6 +469,7 @@ class EffOCRInference:
         fused_out = self._ocr_chunk_bucket(
             jnp.asarray(buckets), jnp.asarray(src_rect),
             jnp.asarray(dst_params), jnp.asarray(meta_arr), protos, row_mask,
+            size_h=size_h,
         )
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                     fused_out=fused_out)
@@ -487,19 +536,23 @@ class EffOCRInference:
                     all_rects.append(rect)
                     all_img_idx.append(i)
                 else:
-                    # reference-exact original-resolution crop; the
-                    # reference divides by its square canvas size
-                    # (infer_effocr_onnx_multi.py:314-316 uses 640)
+                    # original-resolution crop.  The reference divides by
+                    # its square 640 canvas (infer_effocr_onnx_multi.py:
+                    # 314-316, x_orig = x_lb * w / 640); that is the
+                    # left=0, r=canvas_w/w special case of the general
+                    # inverse letterbox x_orig = (x_lb - left) / r, which
+                    # also holds for rectangular/adaptive canvases (text
+                    # lines are width-bound, so left==0 and r==canvas_w/w
+                    # and the two formulas agree digit-for-digit there).
                     raw = chunk[i]
-                    canvas = c.localizer.input_size
                     if c.vertical:
-                        y0 = int(round(round(b[1]) * meta["h"] / canvas))
-                        y1 = int(round(round(b[3]) * meta["h"] / canvas))
-                        crop = raw[y0:y1, :, :]
+                        y0 = round((round(b[1]) - meta["top"]) / meta["r"])
+                        y1 = round((round(b[3]) - meta["top"]) / meta["r"])
+                        crop = raw[max(int(y0), 0):max(int(y1), 0), :, :]
                     else:
-                        x0 = int(round(round(b[0]) * meta["w"] / canvas))
-                        x1 = int(round(round(b[2]) * meta["w"] / canvas))
-                        crop = raw[:, x0:x1, :]
+                        x0 = round((round(b[0]) - meta["left"]) / meta["r"])
+                        x1 = round((round(b[2]) - meta["left"]) / meta["r"])
+                        crop = raw[:, max(int(x0), 0):max(int(x1), 0), :]
                     if crop.size == 0:
                         crop = np.zeros((4, 4, 3), np.uint8)
                     host_crops.append(
@@ -564,13 +617,33 @@ class EffOCRInference:
         (n_chars, flat_boxes, flat_valid, nn_idx, word_boxes,
          word_valid) = jax.device_get(handle["fused_out"])
 
-        total = int(flat_valid.sum())
-        if int(n_chars[:n].sum()) > flat_valid.shape[0]:
-            # more chars in this chunk than crop slots; tail lines truncate
-            n_chars = np.minimum(
-                n_chars, np.maximum(flat_valid.shape[0] - np.concatenate(
-                    [[0], np.cumsum(n_chars)[:-1]]), 0)
-            )
+        # Crop slots hold a reading-order (line-major) prefix of the chunk's
+        # chars, so when a chunk overflows crop_batch, some suffix of lines
+        # is undecoded.  Spill those lines into a fresh dispatch instead of
+        # silently truncating them.
+        n_chars = np.array(n_chars)
+        cap = flat_valid.shape[0]
+        csum = np.cumsum(n_chars[:n])
+        leftover = None
+        if n and csum[-1] > cap:
+            first_bad = int(np.searchsorted(csum, cap, side="right"))
+            if first_bad == 0:
+                logger.warning(
+                    "line %r has %d chars, more than crop_batch=%d; "
+                    "truncating its decode (raise crop_batch)",
+                    chunk_keys[0], int(n_chars[0]), cap,
+                )
+                n_chars[0] = cap
+                first_bad = 1
+            if first_bad < n:
+                logger.warning(
+                    "chunk overflow: %d chars > crop_batch=%d; "
+                    "re-dispatching %d tail lines",
+                    int(csum[-1]), cap, n - first_bad,
+                )
+                leftover = (handle["chunk"][first_bad:],
+                            chunk_keys[first_bad:])
+                n = first_bad
 
         if self.classifier_mode:
             decode = lambda j: self.class_map.get(int(j), "")
@@ -621,6 +694,11 @@ class EffOCRInference:
                 "width": meta["w"], "height": meta["h"],
                 "text": out, "chars": orig_boxes,
             }
+
+        if leftover is not None:
+            self._finish_chunk(
+                self._dispatch_chunk(*leftover), results, coco_boxes
+            )
 
     def _recognize_crops(self, total, all_rects, all_img_idx, host_crops,
                          imgs_dev) -> np.ndarray:

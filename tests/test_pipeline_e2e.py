@@ -239,3 +239,118 @@ def test_pipeline_empty_line(engine_parts):
     )
     results = engine.run([img])
     assert results[0] in (None, "")
+
+
+def test_pipeline_overflow_spill(engine_parts):
+    """A chunk whose chars exceed crop_batch must spill the undecoded tail
+    lines into a fresh dispatch, not silently truncate them
+    (pipelines/infer.py _finish_fused)."""
+    encoder, enc_vars, index = engine_parts
+    text = "AbX oT"  # 5 chars, 2 words
+    img, boxes, words = make_line(text)
+    lb_b = to_letterbox_space(boxes, img.shape[0], img.shape[1])
+    lb_w = to_letterbox_space(words, img.shape[0], img.shape[1])
+    n_lines = 8
+    # identical lines, so the stub's decoded[:b] rows are right for any
+    # suffix re-dispatch
+    decoded = make_decoded_predictions(
+        [lb_b] * n_lines, [lb_w] * n_lines, [None] * n_lines
+    )
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                  max_det=64, max_nms=64),
+        encoder=EncoderConfig(arch="tiny"),
+        line_batch=n_lines,
+        crop_batch=12,  # < 8 lines x 5 chars: forces repeated spill
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run([img] * n_lines)
+    assert len(results) == n_lines
+    for i in range(n_lines):
+        assert results[i] == text, (i, results[i], text)
+
+
+def test_reading_order_subpixel_late_line(engine_parts):
+    """Two boxes 0.125 canvas-px apart on line 63 must decode in x order.
+
+    A float32 composite key (line*1e5 + x) has 0.5-px resolution at line 63
+    and collapses the two keys, letting anchor-slot order (here deliberately
+    reversed) win; the int32 key keeps 1/16-px resolution."""
+    encoder, enc_vars, index = engine_parts
+    n_lines = 64
+    a = 8
+    decoded = np.zeros((n_lines, a, 7), np.float32)
+    for i in range(n_lines - 1):
+        decoded[i, 0] = [55, 32, 10, 20, 0.95, 0.99, 0.01]
+    # line 63: slot 0 holds the RIGHT box (x0=200.125), slot 1 the LEFT
+    # (x0=200.0) so a key collision emits them right-before-left
+    for slot, x0 in ((0, 200.125), (1, 200.0)):
+        w, y0, h = 10.0, 22.0, 20.0
+        decoded[n_lines - 1, slot] = [
+            x0 + w / 2, y0 + h / 2, w, h, 0.95, 0.99, 0.01,
+        ]
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.99,
+                                  max_det=8, max_nms=64),
+        encoder=EncoderConfig(arch="tiny"),
+        line_batch=n_lines,
+        crop_batch=128,
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    imgs = [np.full((64, 512, 3), 255, np.uint8)] * n_lines
+    results, coco = engine.run(imgs, return_coco=True)
+    last = [im for im in coco["images"] if im["id"] == n_lines - 1]
+    assert last, coco["images"]
+    annos = [x for x in coco["annotations"]
+             if x["image_id"] == n_lines - 1]
+    assert len(annos) == 2, annos
+    x_order = [x["bbox"][0] for x in annos]
+    assert x_order[0] < x_order[1], x_order
+
+
+def test_pipeline_adaptive_canvas_height(engine_parts):
+    """adaptive_height shrinks the canvas to the chunk's content tier with
+    unchanged letterbox geometry, so decode stays exact."""
+    encoder, enc_vars, index = engine_parts
+    texts = ["AbX oT", "kXo bA"]
+    lines = [make_line(t) for t in texts]
+    imgs = [l[0] for l in lines]
+    # expected tier (mirrors EffOCRInference._chunk_canvas_height)
+    need = max(
+        min(192, int(np.ceil(im.shape[0] * 640 / im.shape[1])))
+        for im in imgs
+    )
+    tier = min(192, -(-max(need, 32) // 32) * 32)
+    lb = lambda boxes, im: [
+        [x0 * r + left, y0 * r + top, x1 * r + left, y1 * r + top]
+        for (x0, y0, x1, y1) in boxes
+        for r, _, (top, _, left, _) in
+        [letterbox_params(im.shape[0], im.shape[1], (tier, 640))]
+    ]
+    decoded = make_decoded_predictions(
+        [lb(l[1], im) for l, im in zip(lines, imgs)],
+        [lb(l[2], im) for l, im in zip(lines, imgs)],
+        [None] * len(lines),
+    )
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                  max_det=64, max_nms=64,
+                                  input_height=192),
+        encoder=EncoderConfig(arch="tiny"),
+        adaptive_height=True,
+        line_batch=2,
+        crop_batch=32,
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run(imgs)
+    for i, t in enumerate(texts):
+        assert results[i] == t, (tier, results[i], t)
