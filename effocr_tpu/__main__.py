@@ -10,6 +10,8 @@ def main():
         sys.exit(1)
     cmd = sys.argv.pop(1).replace("-", "_")
     mods = {
+        "make_corpus": "effocr_tpu.cli.make_corpus",
+        "build_freq_dict": "effocr_tpu.cli.build_freq_dict",
         "format_dataset": "effocr_tpu.cli.format_dataset",
         "train_recognizer": "effocr_tpu.cli.train_recognizer",
         "train_localizer": "effocr_tpu.cli.train_localizer",

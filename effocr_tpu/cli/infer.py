@@ -134,6 +134,7 @@ def load_engine(args) -> EffOCRInference:
                               image_size=imsize),
         anchor_margin=args.anchor_margin,
         spell_check=args.spell_check,
+        spell_check_dict=args.dictionary_path,
         crop_source=args.crop_source,
     )
     return EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
@@ -150,6 +151,10 @@ def main():
     p.add_argument("--blacklist_chars", type=str, default=None)
     p.add_argument("--no_spaces_eval", action="store_true", default=False)
     p.add_argument("--spell_check", action="store_true", default=False)
+    p.add_argument("--dictionary_path", type=str, default=None,
+                   help='"word count" frequency list for --spell_check '
+                        "(build one with: python -m effocr_tpu "
+                        "build-freq-dict); default: small builtin list")
     p.add_argument("--norm_edit", action="store_true", default=False)
     p.add_argument("--localizer_dir", type=str, required=True)
     p.add_argument("--localizer_iou_thresh", type=float, default=0.01)

@@ -12,6 +12,7 @@ import json
 import os
 
 import jax
+import numpy as np
 
 from effocr_tpu.core.config import EncoderConfig, RecognizerTrainConfig
 from effocr_tpu.core.mesh import make_mesh
@@ -50,6 +51,20 @@ def main():
                         "replaces --auto_model_timm/--auto_model_hf")
     p.add_argument("--num_passes", type=int, default=1)
     p.add_argument("--no_aug", action="store_true", default=False)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"],
+                   help="from-scratch recipe: warmup+cosine decay")
+    p.add_argument("--warmup_frac", type=float, default=0.0)
+    p.add_argument("--min_lr_frac", type=float, default=0.0)
+    p.add_argument("--aux_ce_weight", type=float, default=0.0,
+                   help="weight of the auxiliary cosine-classifier CE "
+                        "added to SupCon (kNN mode; 0 = reference parity)")
+    p.add_argument("--aux_ce_temp", type=float, default=0.07)
+    p.add_argument("--ref_source", type=str, default="render",
+                   choices=["render", "centroid"],
+                   help="prototype rows: clean renders (reference) or "
+                        "per-class centroid embeddings over train items")
+    p.add_argument("--centroid_cap", type=int, default=32)
     p.add_argument("--render_font_name", type=str, default=None,
                    help="prototype font (default: NotoSerifCJKjp-Regular for "
                         "jp, NotoSerif-Regular for en)")
@@ -77,6 +92,10 @@ def main():
         high_blur=args.high_blur, no_aug=args.no_aug,
         hns_txt_path=args.hns_txt_path,
         infer_hardneg_k=args.infer_hardneg_k,
+        lr_schedule=args.lr_schedule, warmup_frac=args.warmup_frac,
+        min_lr_frac=args.min_lr_frac, aux_ce_weight=args.aux_ce_weight,
+        aux_ce_temp=args.aux_ce_temp, ref_source=args.ref_source,
+        centroid_cap=args.centroid_cap,
     )
 
     classifier_mode = args.N_classes is not None
@@ -135,9 +154,22 @@ def main():
 
     trainer.load_best()
     if not classifier_mode:
-        index = trainer.build_ref_index(dataset, render_ref_idx)
+        index = trainer.build_ref_index(
+            dataset, render_ref_idx,
+            centroid_idx=idx_train if cfg.ref_source == "centroid" else None,
+        )
         if args.test_at_end:
-            acc = trainer.eval_knn(dataset, idx_test, render_ref_idx)
+            if cfg.ref_source == "centroid":
+                acc = trainer.eval_knn(
+                    dataset, idx_test, [],
+                    ref_emb=index.embeddings,
+                    ref_lab=np.asarray([
+                        dataset.class_to_idx[str(ord(ch))]
+                        for ch in index.chars
+                    ]),
+                )
+            else:
+                acc = trainer.eval_knn(dataset, idx_test, render_ref_idx)
             print(f"Final test acc: {acc}")
         if args.infer_hardneg_k:
             query_idx = [

@@ -75,6 +75,11 @@ class PipelineConfig:
     anchor_margin: Optional[float] = None   # en_postprocess hyperparameter
     anchor_multiplier: float = 4.0
     spell_check: bool = False
+    # "word count" frequency list for the spell checker (the reference uses
+    # symspell's bundled 82k list, utils/spell_check_utils.py:14-23); build
+    # one from any text corpus with `python -m effocr_tpu build-freq-dict`.
+    # None = small builtin list (tests only).
+    spell_check_dict: Optional[str] = None
     # "letterbox": crops cut on-device from the 640-letterboxed line (fully
     # fused, fastest).  "original": crops cut host-side from the original
     # resolution image, byte-matching reference semantics
@@ -136,6 +141,26 @@ class RecognizerTrainConfig:
     hns_txt_path: Optional[str] = None
     infer_hardneg_k: int = 8          # :228
     seed: int = 0
+    # --- from-scratch training recipe (beyond reference parity) ---------
+    # The reference finetunes ImageNet-pretrained timm encoders at lr 2e-6;
+    # training from random init (no pretrained weights in this environment)
+    # needs a real schedule and a stronger supervised signal.
+    lr_schedule: str = "constant"     # {"constant", "cosine"}
+    warmup_frac: float = 0.0          # linear warmup, fraction of total steps
+    min_lr_frac: float = 0.0          # cosine floor as a fraction of peak lr
+    # Auxiliary cosine-classifier cross-entropy added to SupCon (kNN mode
+    # only): logits = l2norm(emb) @ l2norm(W) / aux_ce_temp.  A NormFace-
+    # style proxy objective that directly optimizes the cosine geometry the
+    # 1-NN retrieval decodes in; 0 disables (reference-parity loss).
+    aux_ce_weight: float = 0.0
+    aux_ce_temp: float = 0.07
+    # Prototype source for eval + ref.npz: "render" = embeddings of the
+    # clean prototype-font renders (reference semantics,
+    # train_effocr_recognizer.py:47-62); "centroid" = L2-normalized per-class
+    # mean embedding over train items (robust when a single clean render
+    # sits off-cluster under from-scratch training).
+    ref_source: str = "render"
+    centroid_cap: int = 32            # max train items embedded per class
 
 
 @dataclass(frozen=True)

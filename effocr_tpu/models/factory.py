@@ -13,7 +13,7 @@ from typing import Any, Callable, Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from effocr_tpu.models import convnext, fcos, mobilenetv3, vit, yolo
+from effocr_tpu.models import convnext, fcos, mobilenetv3, rcnn, vit, yolo
 
 Dtype = Any
 
@@ -39,6 +39,9 @@ LOCALIZER_REGISTRY: Dict[str, Callable] = {
     # D2/MMDet role) — same decoded layout, drop-in for the pipeline
     "fcos_n": fcos.fcos_n,
     "fcos_s": fcos.fcos_s,
+    # two-stage (Faster R-CNN) family — D2/MMDet-parity alternate backend
+    "rcnn_n": rcnn.rcnn_n,
+    "rcnn_s": rcnn.rcnn_s,
 }
 
 

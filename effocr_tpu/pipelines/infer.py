@@ -586,9 +586,7 @@ class EffOCRInference:
             else:
                 out = text
             if self.config.spell_check and out:
-                from effocr_tpu.utils.spell_check import visual_spell_checker
-
-                out = visual_spell_checker(out)
+                out = self._spell_check(out)
             results[p["key"]] = out
             # boxes back in original-image space for COCO output
             # (cf. infer_effocr.py:558-563)
@@ -606,6 +604,17 @@ class EffOCRInference:
                 "width": meta["w"], "height": meta["h"],
                 "text": out, "chars": orig_boxes,
             }
+
+    def _spell_check(self, out: str) -> str:
+        """Homoglyph spell check with the configured frequency dictionary
+        (config.spell_check_dict; None = small builtin list)."""
+        from effocr_tpu.utils.spell_check import (
+            default_dicts,
+            visual_spell_checker,
+        )
+
+        worddict, vsim, abbrevs = default_dicts(self.config.spell_check_dict)
+        return visual_spell_checker(out, worddict, vsim, abbrevs)
 
     def _finish_fused(self, handle, results, coco_boxes) -> None:
         """Host side of the fused path: one device_get, then pure-Python
@@ -674,9 +683,7 @@ class EffOCRInference:
             else:
                 out = text
             if c.spell_check and out:
-                from effocr_tpu.utils.spell_check import visual_spell_checker
-
-                out = visual_spell_checker(out)
+                out = self._spell_check(out)
             results[chunk_keys[i]] = out
 
             meta = metas[i]

@@ -60,8 +60,10 @@ def fit_anchors(boxes_wh: np.ndarray, n: int = 9, iters: int = 50,
 
 def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
                              anchors, mesh: Optional[Mesh] = None):
-    """anchors=None selects the anchor-free (FCOS) loss; otherwise the
-    YOLOv5 anchor-matching loss."""
+    """Loss dispatch by family: anchors!=None -> YOLOv5 anchor-matching
+    loss; two-stage models (num_proposals attr) -> Faster R-CNN RPN+ROI
+    loss; otherwise the anchor-free (FCOS) loss."""
+    two_stage = anchors is None and hasattr(model, "num_proposals")
 
     def step(state, images, targets, target_mask):
         """images float [B,S,S,3] in [0,1]; targets [B,T,5] (cls,cx,cy,w,h px)."""
@@ -73,7 +75,14 @@ def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
                 variables, images, train=True, decode=False,
                 mutable=["batch_stats"],
             )
-            if anchors is None:
+            if two_stage:
+                from effocr_tpu.models.rcnn import rcnn_loss
+
+                loss, parts = rcnn_loss(
+                    raw, targets, target_mask,
+                    num_classes=cfg.localizer.num_classes,
+                )
+            elif anchors is None:
                 from effocr_tpu.models.fcos import fcos_loss
 
                 loss, parts = fcos_loss(

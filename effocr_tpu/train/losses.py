@@ -67,6 +67,31 @@ def supcon_loss(
     )
 
 
+def cosine_classifier_loss(
+    embeddings: jnp.ndarray,
+    weights: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 0.07,
+    valid: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """NormFace-style proxy cross-entropy: CE over cosine similarities to a
+    learnable per-class weight matrix.
+
+    embeddings [B, D] (unnormalized), weights [C, D] (unnormalized class
+    proxies), labels [B] int.  Directly optimizes the cosine geometry that
+    the 1-NN prototype retrieval decodes in — the from-scratch complement
+    to SupCon's batch-relative objective.
+    """
+    z = l2_normalize(embeddings.astype(jnp.float32))
+    w = l2_normalize(weights.astype(jnp.float32))
+    logits = jax.lax.dot_general(
+        z, w, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) / temperature
+    return cross_entropy_loss(logits, labels, valid)
+
+
 def cross_entropy_loss(
     logits: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray = None
 ) -> jnp.ndarray:

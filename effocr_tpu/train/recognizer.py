@@ -37,13 +37,23 @@ from effocr_tpu.data.transforms import augment_batch
 from effocr_tpu.kernels.retrieval import knn_topk, l2_normalize
 from effocr_tpu.retrieval.index import PrototypeIndex
 from effocr_tpu.train import checkpoint as ckpt
-from effocr_tpu.train.losses import cross_entropy_loss, supcon_loss
+from effocr_tpu.train.losses import (
+    cosine_classifier_loss,
+    cross_entropy_loss,
+    supcon_loss,
+)
 from effocr_tpu.train.metrics import MetricsWriter
 
 
 def make_train_step(model, cfg: RecognizerTrainConfig, tx,
-                    classifier_mode: bool, mesh: Optional[Mesh] = None):
-    """Build the jitted (augment -> forward -> loss -> update) step."""
+                    classifier_mode: bool, mesh: Optional[Mesh] = None,
+                    use_aux: bool = False):
+    """Build the jitted (augment -> forward -> loss -> update) step.
+
+    use_aux: optimize an auxiliary cosine-classifier head alongside SupCon
+    (state carries "aux" = {"w": [C, D]} and opt_state covers the combined
+    {"model", "aux"} tree).
+    """
 
     def step(state, images_u8, targets, is_paired, key):
         x = augment_batch(
@@ -51,7 +61,8 @@ def make_train_step(model, cfg: RecognizerTrainConfig, tx,
             high_blur=cfg.high_blur, no_aug=cfg.no_aug,
         )
 
-        def loss_fn(params):
+        def loss_fn(trainable):
+            params = trainable["model"] if use_aux else trainable
             variables = {"params": params}
             if state["batch_stats"]:
                 variables["batch_stats"] = state["batch_stats"]
@@ -68,19 +79,28 @@ def make_train_step(model, cfg: RecognizerTrainConfig, tx,
                 loss = cross_entropy_loss(out, targets)
             else:
                 loss = supcon_loss(out, targets, cfg.temperature)
+                if use_aux:
+                    loss = loss + cfg.aux_ce_weight * cosine_classifier_loss(
+                        out, trainable["aux"]["w"], targets, cfg.aux_ce_temp
+                    )
             return loss, new_stats
 
+        if use_aux:
+            trainable = {"model": state["params"], "aux": state["aux"]}
+        else:
+            trainable = state["params"]
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state["params"])
-        updates, new_opt = tx.update(grads, state["opt_state"],
-                                     state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
+        )(trainable)
+        updates, new_opt = tx.update(grads, state["opt_state"], trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
         new_state = {
-            "params": new_params,
+            "params": new_trainable["model"] if use_aux else new_trainable,
             "batch_stats": new_stats,
             "opt_state": new_opt,
         }
+        if use_aux:
+            new_state["aux"] = new_trainable["aux"]
         return new_state, loss
 
     if mesh is not None:
@@ -113,15 +133,64 @@ class RecognizerTrainer:
         os.makedirs(run_dir, exist_ok=True)
         self.metrics = MetricsWriter(run_dir, use_wandb=use_wandb)
 
+        self.use_aux = (not classifier_mode) and cfg.aux_ce_weight > 0
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
         self._step_fn = make_train_step(
-            model, cfg, self.tx, classifier_mode, mesh
+            model, cfg, self.tx, classifier_mode, mesh, use_aux=False
         )
         self._embed_fn = jax.jit(
             lambda variables, x: model.apply(variables, x, train=False)
         )
         self.state = None
         self.best_acc = -1.0
+
+    # ------------------------------------------------------------- schedule
+    def _build_optimizer(self, total_steps: int):
+        """(Re)build tx + step_fn once the step count is known; reset
+        opt_state over the current params (and aux head, if enabled)."""
+        cfg = self.cfg
+        if cfg.lr_schedule == "cosine":
+            warmup = max(int(cfg.warmup_frac * total_steps), 0)
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if warmup else cfg.lr,
+                peak_value=cfg.lr,
+                warmup_steps=warmup,
+                decay_steps=max(total_steps, 1),
+                end_value=cfg.lr * cfg.min_lr_frac,
+            )
+        else:
+            lr = cfg.lr
+        self.tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
+        self._step_fn = make_train_step(
+            self.model, cfg, self.tx, self.classifier_mode, self.mesh,
+            use_aux=self.use_aux,
+        )
+        if self.use_aux:
+            trainable = {"model": self.state["params"],
+                         "aux": self.state["aux"]}
+        else:
+            trainable = self.state["params"]
+        opt_state = self.tx.init(trainable)
+        if self.mesh is not None:
+            opt_state = jax.device_put(
+                opt_state, NamedSharding(self.mesh, P())
+            )
+        self.state = dict(self.state)
+        self.state["opt_state"] = opt_state
+
+    def _init_aux(self, n_classes: int, key: jax.Array):
+        """Cosine-classifier proxy matrix [C, D]; D probed via eval_shape."""
+        size = self.cfg.encoder.image_size
+        out = jax.eval_shape(
+            lambda v, x: self.model.apply(v, x, train=False),
+            self.variables, jnp.zeros((1, size, size, 3), jnp.float32),
+        )
+        d = out.shape[-1]
+        w = jax.random.normal(key, (n_classes, d), jnp.float32) * 0.02
+        if self.mesh is not None:
+            w = jax.device_put(w, NamedSharding(self.mesh, P()))
+        self.state = dict(self.state)
+        self.state["aux"] = {"w": w}
 
     # ----------------------------------------------------------------- init
     def init_state(self, key: jax.Array, sample_shape=None):
@@ -170,21 +239,54 @@ class RecognizerTrainer:
             labels.append(targets)
         return np.concatenate(embs), np.concatenate(labels)
 
+    def class_centroids(self, dataset: CharFolderDataset,
+                        indices: Sequence[int]
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """L2-normalized per-class mean embeddings over (capped) indices.
+
+        Returns (centroids [C', D], class targets [C']) for the classes
+        present in indices.  Robust prototype source when the single clean
+        render sits off-cluster under from-scratch training."""
+        cap = self.cfg.centroid_cap
+        by_class: Dict[int, List[int]] = {}
+        for i in indices:
+            by_class.setdefault(dataset.targets[i], []).append(i)
+        sel = [i for t in sorted(by_class) for i in by_class[t][:cap]]
+        embs, labs = self.embed_indices(dataset, sel)
+        embs = embs / np.maximum(
+            np.linalg.norm(embs, axis=1, keepdims=True), 1e-12
+        )
+        targets = np.asarray(sorted(by_class), np.int32)
+        pos = {int(t): j for j, t in enumerate(targets)}
+        cents = np.zeros((len(targets), embs.shape[1]), np.float32)
+        np.add.at(cents, [pos[int(t)] for t in labs], embs)
+        cents /= np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        return cents, targets
+
     # ----------------------------------------------------------------- eval
     def eval_knn(self, dataset: CharFolderDataset,
-                 query_idx: Sequence[int], ref_idx: Sequence[int]) -> float:
+                 query_idx: Sequence[int], ref_idx: Sequence[int],
+                 ref_emb: Optional[np.ndarray] = None,
+                 ref_lab: Optional[np.ndarray] = None) -> float:
         """Precision@1 of query items against reference (render) items —
-        tester_knn semantics (train_effocr_recognizer.py:81-102)."""
-        if len(query_idx) == 0 or len(ref_idx) == 0:
+        tester_knn semantics (train_effocr_recognizer.py:81-102).  Pass
+        (ref_emb, ref_lab) to evaluate against precomputed prototypes
+        (e.g. class centroids) instead of embedding ref_idx."""
+        if len(query_idx) == 0:
             return 0.0
+        if ref_emb is None:
+            if len(ref_idx) == 0:
+                return 0.0
+            ref_emb, ref_lab = self.embed_indices(dataset, ref_idx)
         q_emb, q_lab = self.embed_indices(dataset, query_idx)
-        r_emb, r_lab = self.embed_indices(dataset, ref_idx)
         _, nn_idx = knn_topk(
             jnp.asarray(q_emb),
-            l2_normalize(jnp.asarray(r_emb)),
+            l2_normalize(jnp.asarray(ref_emb)),
             k=1,
         )
-        pred = r_lab[np.asarray(nn_idx)[:, 0]]
+        pred = np.asarray(ref_lab)[np.asarray(nn_idx)[:, 0]]
         return float((pred == q_lab).mean())
 
     def eval_classifier(self, dataset: CharFolderDataset,
@@ -225,7 +327,20 @@ class RecognizerTrainer:
         def evaluate():
             if self.classifier_mode:
                 return self.eval_classifier(dataset, idx_val)
+            if cfg.ref_source == "centroid":
+                cents, targets = self.class_centroids(dataset, idx_train)
+                return self.eval_knn(dataset, idx_val, [],
+                                     ref_emb=cents, ref_lab=targets)
             return self.eval_knn(dataset, idx_val, render_ref_idx)
+
+        # steps/epoch from the epoch-0 sampler -> lr schedule + aux head
+        steps_per_epoch = sum(
+            1 for _ in batch_iterator(iter(make_sampler(0)), cfg.batch_size)
+        )
+        if self.use_aux:
+            key, aux_key = jax.random.split(key)
+            self._init_aux(len(dataset.class_to_idx), aux_key)
+        self._build_optimizer(steps_per_epoch * cfg.num_epochs)
 
         self.best_acc = evaluate()
         self.metrics.log({"val/accuracy": self.best_acc}, step=0)
@@ -271,18 +386,39 @@ class RecognizerTrainer:
     # ------------------------------------------------------------ artifacts
     def build_ref_index(self, dataset: CharFolderDataset,
                         render_idx: Sequence[int],
-                        thumbnail_size: int = 64) -> PrototypeIndex:
-        """Embed the render prototype set into ref.npz/ref.txt
+                        thumbnail_size: int = 64,
+                        centroid_idx: Optional[Sequence[int]] = None,
+                        ) -> PrototypeIndex:
+        """Embed the prototype set into ref.npz/ref.txt
         (save_ref_index, train_effocr_recognizer.py:47-62).  Grayscale
-        thumbnails of each prototype ride along for the kNN visualizer."""
-        embs, _ = self.embed_indices(dataset, render_idx)
-        chars = [
-            dataset.char_for_path(dataset.data[i][0]) for i in render_idx
-        ]
-        thumbs = np.stack([
-            dataset.load_square(i, thumbnail_size).mean(-1).astype(np.uint8)
-            for i in render_idx
-        ]) if render_idx else None
+        thumbnails of each prototype ride along for the kNN visualizer.
+
+        cfg.ref_source == "centroid": one row per class, the L2-normalized
+        mean embedding over centroid_idx (default: the render set);
+        thumbnail = the first render of that class."""
+        if self.cfg.ref_source == "centroid":
+            src = centroid_idx if centroid_idx is not None else render_idx
+            embs, targets = self.class_centroids(dataset, src)
+            chars = [dataset.char_for_target(int(t)) for t in targets]
+            first_render = {}
+            for i in render_idx:
+                first_render.setdefault(dataset.targets[i], i)
+            thumbs = np.stack([
+                dataset.load_square(
+                    first_render.get(int(t), src[0]), thumbnail_size
+                ).mean(-1).astype(np.uint8)
+                for t in targets
+            ]) if len(targets) else None
+        else:
+            embs, _ = self.embed_indices(dataset, render_idx)
+            chars = [
+                dataset.char_for_path(dataset.data[i][0]) for i in render_idx
+            ]
+            thumbs = np.stack([
+                dataset.load_square(i, thumbnail_size).mean(-1)
+                .astype(np.uint8)
+                for i in render_idx
+            ]) if render_idx else None
         index = PrototypeIndex(embs, chars, thumbnails=thumbs)
         index.save(self.run_dir)
         return index

@@ -98,6 +98,48 @@ def test_recognizer_trainer_fit_and_artifacts(char_tree, tmp_path):
     trainer.load_best()
 
 
+def test_recognizer_recipe_aux_cosine_centroid(char_tree, tmp_path):
+    """From-scratch recipe: aux cosine-classifier CE + warmup/cosine lr +
+    centroid prototypes; artifacts stay encoder-only."""
+    ds = CharFolderDataset(char_tree)
+    idx_train, idx_val, _ = split_indices(ds, ["line0"], ["line1"], ["line1"])
+    cfg = RecognizerTrainConfig(
+        encoder=EncoderConfig(arch="convnext_atto", image_size=64),
+        batch_size=6, m_per_class=2, num_epochs=2, lr=1e-3, lang="en",
+        lr_schedule="cosine", warmup_frac=0.25, aux_ce_weight=1.0,
+        ref_source="centroid", centroid_cap=4,
+    )
+    model = create_encoder("convnext_atto", dtype=jnp.float32)
+    run_dir = str(tmp_path / "run_aux")
+    trainer = RecognizerTrainer(cfg, model, run_dir)
+    trainer.init_state(jax.random.PRNGKey(0))
+    acc = trainer.fit(ds, idx_train, idx_val, ds.render_indices())
+    assert 0.0 <= acc <= 1.0
+    # aux head exists in state but not in the saved checkpoint
+    assert "aux" in trainer.state
+    assert trainer.state["aux"]["w"].shape[0] == len(ds.class_to_idx)
+    import msgpack  # noqa: F401  (format sanity via loader below)
+    from effocr_tpu.train import checkpoint as ckpt
+    loaded = ckpt.load_variables(
+        trainer.variables, ckpt.best_checkpoint_path(run_dir)
+    )
+    assert "params" in loaded and "aux" not in loaded
+
+    # centroid ref index: one row per class
+    index = trainer.build_ref_index(ds, ds.render_indices(),
+                                    centroid_idx=idx_train)
+    assert len(index.chars) == len(ds.class_to_idx)
+    assert sorted(index.chars) == sorted(CHARS)
+    # rows are L2-normalized
+    norms = np.linalg.norm(index.embeddings, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-4)
+
+    # centroid helper: classes and unit norms
+    cents, targets = trainer.class_centroids(ds, idx_train)
+    assert cents.shape[0] == len(targets) == 3
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-4)
+
+
 def test_localizer_trainer_step_and_eval(tmp_path):
     cfg = LocalizerTrainConfig(
         localizer=LocalizerConfig(arch="yolov5n", num_classes=2,
