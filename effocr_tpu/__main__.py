@@ -12,6 +12,7 @@ def main():
     mods = {
         "make_corpus": "effocr_tpu.cli.make_corpus",
         "build_freq_dict": "effocr_tpu.cli.build_freq_dict",
+        "make_charset": "effocr_tpu.cli.make_charset",
         "format_dataset": "effocr_tpu.cli.format_dataset",
         "train_recognizer": "effocr_tpu.cli.train_recognizer",
         "train_localizer": "effocr_tpu.cli.train_localizer",

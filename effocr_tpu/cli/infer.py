@@ -41,8 +41,13 @@ def load_engine(args) -> EffOCRInference:
         num_classes=loc_meta.get("num_classes", 2),
     )
     size = loc_meta.get("input_size", 640)
+    # a model trained on a rectangular canvas carries its height in
+    # model.json; the flag still overrides
+    if args.input_height is None:
+        args.input_height = loc_meta.get("input_height")
+    h0 = args.input_height or size
     loc_init = localizer.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+        jax.random.PRNGKey(0), jnp.zeros((1, h0, size, 3)), train=False
     )
     loc_vars = ckpt.load_variables(
         loc_init,
@@ -136,6 +141,7 @@ def load_engine(args) -> EffOCRInference:
         spell_check=args.spell_check,
         spell_check_dict=args.dictionary_path,
         crop_source=args.crop_source,
+        retrieval_kernel=args.retrieval_kernel,
     )
     return EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
                            index, class_map=class_map)
@@ -166,6 +172,10 @@ def main():
     p.add_argument("--n_repeats", type=int, default=1)
     p.add_argument("--crop_source", type=str, default="letterbox",
                    choices=["letterbox", "original"])
+    p.add_argument("--retrieval_kernel", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="pallas = tiled top-1 kernel for very large "
+                        "prototype indexes (jisx0213-scale)")
     p.add_argument("--build_index_from", type=str, default=None,
                    help="char-folder tree for ad-hoc prototype-index build "
                         "when recognizer_dir has no ref.npz")

@@ -181,21 +181,26 @@ def main():
 
     if args.lang == "en":
         words = _load_words(args)
-        charset = None
+        per_font_charset = None
     else:
         if args.charset_file:
-            charset = _charset_from_file(args.charset_file)
+            charset = [c for c in _charset_from_file(args.charset_file)
+                       if ord(c) >= 0x100]
         else:
-            charset = sorted(_coverage(font_paths[0]))
-        # only chars every corpus font can draw
-        for fp in font_paths[1:]:
-            cov = _coverage(fp)
-            charset = [c for c in charset if c in cov]
-        charset = [c for c in charset if ord(c) >= 0x100]  # CJK-ish only
+            charset = sorted(
+                c for c in set().union(*(_coverage(f) for f in font_paths))
+                if ord(c) >= 0x100  # CJK-ish only
+            )
         if args.max_charset:
             idx = rng.permutation(len(charset))[: args.max_charset]
             charset = [charset[i] for i in sorted(idx)]
-        assert charset, "empty jp charset after coverage filtering"
+        # each line is rendered by ONE font: sample its chars from that
+        # font's coverage so union charsets across fonts produce no tofu
+        per_font_charset = {}
+        for fp in font_paths:
+            cov = _coverage(fp)
+            per_font_charset[fp] = [c for c in charset if c in cov]
+            assert per_font_charset[fp], f"{fp} covers none of the charset"
 
     images, annotations = [], []
     anno_id = 0
@@ -215,7 +220,7 @@ def main():
             )
         else:
             n_chars = max(1, args.chars_per_line + int(rng.integers(-3, 4)))
-            line_chars = pyrng.choices(charset, k=n_chars)
+            line_chars = pyrng.choices(per_font_charset[fp], k=n_chars)
             img, cbs, wbs, text = render_line_jp(
                 line_chars, font, args.noise_std, args.blur_sigma, rng,
                 vertical=args.vertical,

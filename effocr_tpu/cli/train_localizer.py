@@ -31,6 +31,11 @@ def main():
     p.add_argument("--arch", type=str, default="yolov5s")
     p.add_argument("--num_classes", type=int, default=2)
     p.add_argument("--input_size", type=int, default=640)
+    p.add_argument("--input_height", type=int, default=None,
+                   help="rectangular training canvas height (stride-32 "
+                        "multiple); text lines are wide, so e.g. 96x1024 "
+                        "trains near-full-resolution chars with fewer "
+                        "pixels than a 320 square")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=5e-4)
@@ -47,11 +52,13 @@ def main():
     # model identity for the inference loader (cli/infer.py load_engine)
     with open(os.path.join(args.run_name, "model.json"), "w") as f:
         json.dump({"arch": args.arch, "num_classes": args.num_classes,
-                   "input_size": args.input_size}, f)
+                   "input_size": args.input_size,
+                   "input_height": args.input_height}, f)
 
     cfg = LocalizerTrainConfig(
         localizer=LocalizerConfig(
             arch=args.arch, input_size=args.input_size,
+            input_height=args.input_height,
             num_classes=args.num_classes,
         ),
         batch_size=args.batch_size, lr=args.lr,
@@ -60,8 +67,10 @@ def main():
     )
 
     train_ds = DetectionDataset(args.train_coco, args.image_dir,
-                                args.input_size)
-    val_ds = DetectionDataset(args.val_coco, args.image_dir, args.input_size)
+                                args.input_size,
+                                input_height=args.input_height)
+    val_ds = DetectionDataset(args.val_coco, args.image_dir, args.input_size,
+                              input_height=args.input_height)
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.num_epochs

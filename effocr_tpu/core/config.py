@@ -94,6 +94,12 @@ class PipelineConfig:
     # the letterbox resize runs on the MXU (kernels.image_ops
     # letterbox_device) — fewer bytes over the host->device link.
     transfer: str = "canvas"
+    # 8 = raw uint8 canvas upload; 4 = two pixels packed per byte on the
+    # host and unpacked on the VPU (nibble-replication v*17) — halves the
+    # host->device bytes, the measured wall behind a remote chip.  Printed
+    # text is near-binary, so 16 gray levels leave CER unchanged (verify on
+    # your corpus before enabling).  Fused canvas path only.
+    transfer_bits: int = 8
     bucket_hw: Tuple[int, int] = (64, 1024)
     # Adaptive canvas height: per line-chunk, shrink the letterbox canvas
     # height to the smallest stride-32 tier that holds every line's
@@ -116,6 +122,11 @@ class PipelineConfig:
     # amortize per-dispatch link latency without exhausting HBM.
     encoder_sub_batch: Optional[int] = None
     knn_k: int = 1
+    # "xla": matmul + lax.top_k (materializes [N, C] sims in HBM — fine to
+    # ~1k classes).  "pallas": tiled top-1 kernel streaming prototype tiles
+    # through VMEM with a running max (kernels/pallas_retrieval.py) — for
+    # jisx0213/adobe-scale indexes (~13k classes); requires knn_k == 1.
+    retrieval_kernel: str = "xla"
     # chunks of lines whose detect results may be in flight at once
     # (host glue of chunk k overlaps device detect of chunk k+1)
     prefetch_chunks: int = 2

@@ -25,12 +25,18 @@ class DetectionDataset:
         image_dir: str,
         input_size: int = 640,
         max_targets: int = 256,
+        input_height: Optional[int] = None,
     ):
+        """input_height: rectangular canvas (stride-32 multiple).  Text
+        lines are ~15-25x wider than tall, so a (96, 1024) canvas trains on
+        near-full-resolution characters with fewer pixels than a 320 square
+        — detection AP at char scale is resolution-bound, not data-bound."""
         self.coco = (
             load_json(coco_json) if isinstance(coco_json, str) else coco_json
         )
         self.image_dir = image_dir
         self.input_size = input_size
+        self.input_height = input_height or input_size
         self.max_targets = max_targets
         self.annos_by_image: Dict[int, List] = {}
         for a in self.coco["annotations"]:
@@ -52,7 +58,7 @@ class DetectionDataset:
             ).convert("RGB")
         )
         size = self.input_size
-        lb, r, (dw, dh) = letterbox_host(img, (size, size))
+        lb, r, (dw, dh) = letterbox_host(img, (self.input_height, size))
         x = lb.astype(np.float32) / 255.0
         # the image content is pasted at the ROUNDED offsets
         # (letterbox rounding, localizer_engine.py:135-136); targets must
@@ -91,7 +97,9 @@ class DetectionDataset:
             idx = order[s : s + batch_size]
             if len(idx) < batch_size and drop_last:
                 break
-            imgs = np.zeros((batch_size, size, size, 3), np.float32)
+            imgs = np.zeros(
+                (batch_size, self.input_height, size, 3), np.float32
+            )
             tgts = np.zeros((batch_size, self.max_targets, 5), np.float32)
             masks = np.zeros((batch_size, self.max_targets), bool)
             # pad slots carry no gt entry — gts length marks the valid

@@ -131,6 +131,13 @@ class EffOCRInference:
                 # emb is logits; top-1 class (infer_effocr.py:325-333)
                 idx = jnp.argmax(emb, axis=-1)[:, None]
                 return idx, jnp.take_along_axis(emb, idx, axis=-1)
+            if c.retrieval_kernel == "pallas" and c.knn_k == 1:
+                from effocr_tpu.kernels.pallas_retrieval import pallas_top1
+
+                scores, idx = pallas_top1(
+                    l2_normalize(emb), protos, row_mask=row_mask
+                )
+                return idx[:, None], scores[:, None]
             scores, idx = knn_topk(emb, protos, k=c.knn_k, row_mask=row_mask)
             return idx, scores
 
@@ -251,6 +258,21 @@ class EffOCRInference:
             imgs = images_u8.astype(jnp.float32) / 255.0
             return _ocr_from_canvas(imgs, content_meta, protos, row_mask)
 
+        @jax.jit
+        def _ocr_chunk_packed(packed_u8, content_meta, protos, row_mask):
+            """4-bit transfer variant: packed [B, H, W/2, C] holds two
+            width-adjacent pixels per byte (hi nibble = even px, lo = odd);
+            unpack by nibble replication (v * 17 maps 0..15 -> 0..255)."""
+            hi = (packed_u8 >> 4).astype(jnp.uint8)
+            lo = (packed_u8 & 0x0F).astype(jnp.uint8)
+            pix = jnp.stack([hi * 17, lo * 17], axis=3)  # [B,H,W/2,2,C]
+            b, h, w2 = packed_u8.shape[:3]
+            imgs = pix.reshape(b, h, w2 * 2, packed_u8.shape[-1])
+            return _ocr_from_canvas(
+                imgs.astype(jnp.float32) / 255.0, content_meta, protos,
+                row_mask,
+            )
+
         @partial(jax.jit, static_argnames=("size_h",))
         def _ocr_chunk_bucket(buckets_u8, src_rect, dst_params,
                               content_meta, protos, row_mask,
@@ -270,6 +292,7 @@ class EffOCRInference:
         self._recognize = _recognize
         self._recognize_direct = _recognize_direct
         self._ocr_chunk = _ocr_chunk
+        self._ocr_chunk_packed = _ocr_chunk_packed
         self._ocr_chunk_bucket = _ocr_chunk_bucket
 
     # ------------------------------------------------------------------ I/O
@@ -408,9 +431,20 @@ class EffOCRInference:
             else:
                 protos = self.index.device_embeddings
                 row_mask = self.index.device_mask
-            fused_out = self._ocr_chunk(
-                jnp.asarray(lb_imgs), jnp.asarray(meta_arr), protos, row_mask
-            )
+            if c.transfer_bits == 4:
+                assert size_w % 2 == 0
+                packed = (lb_imgs[:, :, 0::2] & 0xF0) | (
+                    lb_imgs[:, :, 1::2] >> 4
+                )
+                fused_out = self._ocr_chunk_packed(
+                    jnp.asarray(packed), jnp.asarray(meta_arr), protos,
+                    row_mask,
+                )
+            else:
+                fused_out = self._ocr_chunk(
+                    jnp.asarray(lb_imgs), jnp.asarray(meta_arr), protos,
+                    row_mask,
+                )
             return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                         fused_out=fused_out)
 

@@ -159,7 +159,8 @@ class LocalizerTrainer:
 
     def init_state(self, key: jax.Array, input_size: Optional[int] = None):
         size = input_size or self.cfg.localizer.input_size
-        x = jnp.zeros((1, size, size, 3), jnp.float32)
+        height = self.cfg.localizer.input_height or size
+        x = jnp.zeros((1, height, size, 3), jnp.float32)
         variables = self.model.init(key, x, train=False)
         params = variables["params"]
         self.state = {
