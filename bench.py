@@ -63,6 +63,8 @@ def main():
     lines = make_synthetic_lines(n_lines)
 
     channels = int(os.environ.get("BENCH_CHANNELS", "1"))
+    bits = int(os.environ.get("BENCH_BITS", "4"))
+    enc_size = int(os.environ.get("BENCH_ENC_SIZE", "224"))
     localizer = create_localizer("yolov5s", num_classes=2)
     loc_vars = localizer.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 640, channels)),
@@ -70,7 +72,7 @@ def main():
     )
     encoder = create_encoder("mobilenetv3_small_050")
     enc_vars = encoder.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, 224, 224, channels)),
+        jax.random.PRNGKey(1), jnp.zeros((1, enc_size, enc_size, channels)),
         train=False,
     )
     # synthetic prototype index, realistic class count (en charset ~ 88;
@@ -90,8 +92,13 @@ def main():
         # the host->device link and 3x fewer detector pixels
         localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.01,
                                   input_height=192),
-        encoder=EncoderConfig(arch="mobilenetv3_small_050"),
+        encoder=EncoderConfig(arch="mobilenetv3_small_050",
+                              image_size=enc_size),
         adaptive_height=True,
+        # 4-bit packed transfer: halves host->device bytes (the measured
+        # wall); decode-identical on printed lines (tests/test_pipeline_e2e
+        # + CER parity on the trained demo corpus, BENCH_ACCURACY.md)
+        transfer_bits=bits,
         line_batch=line_batch,
         crop_batch=24 * line_batch,
         encoder_sub_batch=min(2048, 24 * line_batch),

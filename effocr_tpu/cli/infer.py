@@ -142,6 +142,11 @@ def load_engine(args) -> EffOCRInference:
         spell_check_dict=args.dictionary_path,
         crop_source=args.crop_source,
         retrieval_kernel=args.retrieval_kernel,
+        transfer_bits=args.transfer_bits,
+        line_batch=args.line_batch,
+        crop_batch=args.crop_batch,
+        adaptive_height=args.adaptive_height,
+        crop_window=args.crop_window,
     )
     return EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
                            index, class_map=class_map)
@@ -172,6 +177,18 @@ def main():
     p.add_argument("--n_repeats", type=int, default=1)
     p.add_argument("--crop_source", type=str, default="letterbox",
                    choices=["letterbox", "original"])
+    p.add_argument("--crop_window", type=int, default=256,
+                   help="static ROI slice size; must cover the max crop "
+                        "side in canvas px (content height bound)")
+    p.add_argument("--line_batch", type=int, default=16,
+                   help="lines per fused device dispatch (throughput "
+                        "scales with chunk size behind a remote chip)")
+    p.add_argument("--crop_batch", type=int, default=512)
+    p.add_argument("--adaptive_height", action="store_true", default=False,
+                   help="per-chunk stride-32 canvas height tier")
+    p.add_argument("--transfer_bits", type=int, default=8, choices=[4, 8],
+                   help="4 = nibble-packed host->device upload (fused "
+                        "canvas path); halves link bytes")
     p.add_argument("--retrieval_kernel", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="pallas = tiled top-1 kernel for very large "

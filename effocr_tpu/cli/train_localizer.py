@@ -36,6 +36,11 @@ def main():
                         "multiple); text lines are wide, so e.g. 96x1024 "
                         "trains near-full-resolution chars with fewer "
                         "pixels than a 320 square")
+    p.add_argument("--multi_height", type=str, default=None,
+                   help="comma-separated canvas-height tiers (e.g. '64,96') "
+                        "cycled per epoch, so the detector is robust to the "
+                        "inference pipeline's adaptive_height tiers; each "
+                        "tier compiles one program variant")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=5e-4)
@@ -50,6 +55,10 @@ def main():
     with open(os.path.join(args.run_name, "args_log.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
     # model identity for the inference loader (cli/infer.py load_engine)
+    if args.multi_height and args.input_height is None:
+        args.input_height = max(
+            int(h) for h in args.multi_height.split(",")
+        )
     with open(os.path.join(args.run_name, "model.json"), "w") as f:
         json.dump({"arch": args.arch, "num_classes": args.num_classes,
                    "input_size": args.input_size,
@@ -66,11 +75,19 @@ def main():
         eval_period_epochs=args.eval_period,
     )
 
-    train_ds = DetectionDataset(args.train_coco, args.image_dir,
-                                args.input_size,
-                                input_height=args.input_height)
+    heights = (
+        [int(h) for h in args.multi_height.split(",")]
+        if args.multi_height else [args.input_height]
+    )
+    train_sets = [
+        DetectionDataset(args.train_coco, args.image_dir, args.input_size,
+                         input_height=h)
+        for h in heights
+    ]
+    train_ds = train_sets[0]
     val_ds = DetectionDataset(args.val_coco, args.image_dir, args.input_size,
-                              input_height=args.input_height)
+                              input_height=max(h or args.input_size
+                                               for h in heights))
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.num_epochs
@@ -85,6 +102,7 @@ def main():
 
     step = 0
     for epoch in range(args.num_epochs):
+        train_ds = train_sets[epoch % len(train_sets)]
         for imgs, tgts, masks, _ in train_ds.batches(
             args.batch_size, seed=cfg.seed + epoch
         ):
