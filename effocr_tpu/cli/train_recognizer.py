@@ -65,6 +65,9 @@ def main():
                    help="prototype rows: clean renders (reference) or "
                         "per-class centroid embeddings over train items")
     p.add_argument("--centroid_cap", type=int, default=32)
+    p.add_argument("--eval_period", type=int, default=1,
+                   help="epochs between val evals (centroid eval embeds "
+                        "the train set; at 10k+ classes evaluate sparsely)")
     p.add_argument("--render_font_name", type=str, default=None,
                    help="prototype font (default: NotoSerifCJKjp-Regular for "
                         "jp, NotoSerif-Regular for en)")
@@ -95,7 +98,7 @@ def main():
         lr_schedule=args.lr_schedule, warmup_frac=args.warmup_frac,
         min_lr_frac=args.min_lr_frac, aux_ce_weight=args.aux_ce_weight,
         aux_ce_temp=args.aux_ce_temp, ref_source=args.ref_source,
-        centroid_cap=args.centroid_cap,
+        centroid_cap=args.centroid_cap, eval_period_epochs=args.eval_period,
     )
 
     classifier_mode = args.N_classes is not None

@@ -172,6 +172,9 @@ class RecognizerTrainConfig:
     # sits off-cluster under from-scratch training).
     ref_source: str = "render"
     centroid_cap: int = 32            # max train items embedded per class
+    eval_period_epochs: int = 1       # epochs between val evals (centroid
+                                      # eval embeds the train set; at 10k+
+                                      # classes evaluate less often)
 
 
 @dataclass(frozen=True)

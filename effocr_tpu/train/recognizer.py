@@ -363,11 +363,14 @@ class RecognizerTrainer:
                         {"train/loss": float(loss)}, step=step
                     )
                 step += 1
-            acc = evaluate()
-            self.metrics.log({"val/accuracy": acc}, step=step)
-            if acc >= self.best_acc:
-                self.best_acc = acc
-                self._save_best()
+            if (epoch + 1) % max(cfg.eval_period_epochs, 1) == 0 or (
+                epoch == cfg.num_epochs - 1
+            ):
+                acc = evaluate()
+                self.metrics.log({"val/accuracy": acc}, step=step)
+                if acc >= self.best_acc:
+                    self.best_acc = acc
+                    self._save_best()
         return self.best_acc
 
     def _save_best(self):
