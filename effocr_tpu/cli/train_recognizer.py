@@ -60,11 +60,16 @@ def main():
                    help="weight of the auxiliary cosine-classifier CE "
                         "added to SupCon (kNN mode; 0 = reference parity)")
     p.add_argument("--aux_ce_temp", type=float, default=0.07)
+    p.add_argument("--aux_init", type=str, default="embed",
+                   choices=["embed", "random"])
+    p.add_argument("--aux_lr_mult", type=float, default=1.0,
+                   help="proxy-row lr multiplier (10-100x at large C)")
     p.add_argument("--ref_source", type=str, default="render",
                    choices=["render", "centroid"],
                    help="prototype rows: clean renders (reference) or "
                         "per-class centroid embeddings over train items")
     p.add_argument("--centroid_cap", type=int, default=32)
+    p.add_argument("--adam_b2", type=float, default=0.999)
     p.add_argument("--eval_period", type=int, default=1,
                    help="epochs between val evals (centroid eval embeds "
                         "the train set; at 10k+ classes evaluate sparsely)")
@@ -97,8 +102,10 @@ def main():
         infer_hardneg_k=args.infer_hardneg_k,
         lr_schedule=args.lr_schedule, warmup_frac=args.warmup_frac,
         min_lr_frac=args.min_lr_frac, aux_ce_weight=args.aux_ce_weight,
-        aux_ce_temp=args.aux_ce_temp, ref_source=args.ref_source,
+        aux_ce_temp=args.aux_ce_temp, aux_init=args.aux_init,
+        aux_lr_mult=args.aux_lr_mult, ref_source=args.ref_source,
         centroid_cap=args.centroid_cap, eval_period_epochs=args.eval_period,
+        adam_b2=args.adam_b2,
     )
 
     classifier_mode = args.N_classes is not None

@@ -165,6 +165,13 @@ class RecognizerTrainConfig:
     # 1-NN retrieval decodes in; 0 disables (reference-parity loss).
     aux_ce_weight: float = 0.0
     aux_ce_temp: float = 0.07
+    # Proxy init: "embed" = one render per class embedded by the (random)
+    # encoder — at 10k+ classes random proxies update so rarely that the CE
+    # stays noise for thousands of steps and drowns SupCon; embedding-
+    # seeded proxies make the objective coherent from step one.
+    aux_init: str = "embed"           # {"embed", "random"}
+    aux_lr_mult: float = 1.0          # proxy-row lr multiplier (ProxyNCA
+                                      # practice: 10-100x at large C)
     # Prototype source for eval + ref.npz: "render" = embeddings of the
     # clean prototype-font renders (reference semantics,
     # train_effocr_recognizer.py:47-62); "centroid" = L2-normalized per-class
@@ -175,6 +182,11 @@ class RecognizerTrainConfig:
     eval_period_epochs: int = 1       # epochs between val evals (centroid
                                       # eval embeds the train set; at 10k+
                                       # classes evaluate less often)
+    adam_b2: float = 0.999            # second-moment decay; at 10k+ classes
+                                      # each aux proxy row updates only
+                                      # every ~C/classes_per_batch steps and
+                                      # b2=0.999 keeps stale variance ->
+                                      # oversized steps; 0.95-0.98 is stable
 
 
 @dataclass(frozen=True)

@@ -160,7 +160,22 @@ class RecognizerTrainer:
             )
         else:
             lr = cfg.lr
-        self.tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
+        def adamw(mult=1.0):
+            scaled = (
+                lr if isinstance(lr, float) and mult == 1.0 else
+                ((lambda s: lambda t: s(t) * mult)(lr) if callable(lr)
+                 else lr * mult)
+            )
+            return optax.adamw(scaled, b2=cfg.adam_b2,
+                               weight_decay=cfg.weight_decay)
+
+        if self.use_aux and cfg.aux_lr_mult != 1.0:
+            self.tx = optax.multi_transform(
+                {"model": adamw(), "aux": adamw(cfg.aux_lr_mult)},
+                param_labels={"model": "model", "aux": "aux"},
+            )
+        else:
+            self.tx = adamw()
         self._step_fn = make_train_step(
             self.model, cfg, self.tx, self.classifier_mode, self.mesh,
             use_aux=self.use_aux,
@@ -178,15 +193,33 @@ class RecognizerTrainer:
         self.state = dict(self.state)
         self.state["opt_state"] = opt_state
 
-    def _init_aux(self, n_classes: int, key: jax.Array):
-        """Cosine-classifier proxy matrix [C, D]; D probed via eval_shape."""
+    def _init_aux(self, n_classes: int, key: jax.Array,
+                  dataset: Optional[CharFolderDataset] = None,
+                  seed_idx: Optional[Sequence[int]] = None):
+        """Cosine-classifier proxy matrix [C, D]; D probed via eval_shape.
+
+        cfg.aux_init == "embed": rows seeded from one item per class
+        embedded by the current encoder (seed_idx: dataset index per class,
+        ordered by class target).  Random proxies at 10k+ classes update
+        too rarely to organize and the CE drowns SupCon in noise;
+        embedding-seeded rows give a coherent objective from step one."""
         size = self.cfg.encoder.image_size
         out = jax.eval_shape(
             lambda v, x: self.model.apply(v, x, train=False),
             self.variables, jnp.zeros((1, size, size, 3), jnp.float32),
         )
         d = out.shape[-1]
-        w = jax.random.normal(key, (n_classes, d), jnp.float32) * 0.02
+        w = np.array(
+            jax.random.normal(key, (n_classes, d), jnp.float32) * 0.02
+        )
+        if (self.cfg.aux_init == "embed" and dataset is not None
+                and seed_idx is not None):
+            embs, labs = self.embed_indices(dataset, list(seed_idx))
+            embs = embs / np.maximum(
+                np.linalg.norm(embs, axis=1, keepdims=True), 1e-12
+            )
+            w[np.asarray(labs)] = embs
+        w = jnp.asarray(w)
         if self.mesh is not None:
             w = jax.device_put(w, NamedSharding(self.mesh, P()))
         self.state = dict(self.state)
@@ -339,7 +372,13 @@ class RecognizerTrainer:
         )
         if self.use_aux:
             key, aux_key = jax.random.split(key)
-            self._init_aux(len(dataset.class_to_idx), aux_key)
+            first_of_class: Dict[int, int] = {}
+            for i in idx_train:          # renders come first (sorted paths)
+                first_of_class.setdefault(dataset.targets[i], i)
+            self._init_aux(
+                len(dataset.class_to_idx), aux_key, dataset=dataset,
+                seed_idx=[first_of_class[t] for t in sorted(first_of_class)],
+            )
         self._build_optimizer(steps_per_epoch * cfg.num_epochs)
 
         self.best_acc = evaluate()

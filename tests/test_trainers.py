@@ -107,7 +107,7 @@ def test_recognizer_recipe_aux_cosine_centroid(char_tree, tmp_path):
         encoder=EncoderConfig(arch="convnext_atto", image_size=64),
         batch_size=6, m_per_class=2, num_epochs=2, lr=1e-3, lang="en",
         lr_schedule="cosine", warmup_frac=0.25, aux_ce_weight=1.0,
-        ref_source="centroid", centroid_cap=4,
+        aux_lr_mult=10.0, ref_source="centroid", centroid_cap=4,
     )
     model = create_encoder("convnext_atto", dtype=jnp.float32)
     run_dir = str(tmp_path / "run_aux")
@@ -171,6 +171,44 @@ def test_localizer_trainer_step_and_eval(tmp_path):
     )
     trainer.save("last")
     assert trainer.resume("last")
+
+
+def test_detection_dataset_rect_canvas(tmp_path):
+    """Rectangular training canvas: image letterboxed to (input_height,
+    input_size); targets follow the same geometry."""
+    import json
+    from PIL import Image as PILImage
+    from effocr_tpu.data.detection import DetectionDataset
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    arr = np.full((50, 800, 3), 255, np.uint8)
+    arr[10:40, 100:140] = 0
+    PILImage.fromarray(arr).save(img_dir / "l0.png")
+    coco = {
+        "images": [{"id": 0, "file_name": "l0.png", "width": 800,
+                    "height": 50, "text": "x"}],
+        "annotations": [{"id": 0, "image_id": 0, "category_id": 0,
+                         "bbox": [100, 10, 40, 30], "area": 1200,
+                         "iscrowd": 0}],
+        "categories": [{"id": 0, "name": "char"}],
+    }
+    cj = tmp_path / "c.json"
+    cj.write_text(json.dumps(coco))
+
+    ds = DetectionDataset(str(cj), str(img_dir), input_size=512,
+                          input_height=64)
+    x, targets, mask, gt = ds.load(0)
+    assert x.shape == (64, 512, 3)
+    assert mask[0] and not mask[1]
+    r = 512 / 800  # width-bound scale
+    np.testing.assert_allclose(targets[0, 3], 40 * r, atol=1.0)
+    np.testing.assert_allclose(targets[0, 4], 30 * r, atol=1.0)
+    # box center inside the canvas
+    assert 0 <= targets[0, 1] <= 512 and 0 <= targets[0, 2] <= 64
+    imgs, t, m, gts = next(iter(ds.batches(1, shuffle=False,
+                                           drop_last=False)))
+    assert imgs.shape == (1, 64, 512, 3)
 
 
 def test_fit_anchors(rng):
