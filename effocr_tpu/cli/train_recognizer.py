@@ -70,6 +70,9 @@ def main():
                         "per-class centroid embeddings over train items")
     p.add_argument("--centroid_cap", type=int, default=32)
     p.add_argument("--adam_b2", type=float, default=0.999)
+    p.add_argument("--crop_sim", type=float, default=0.0,
+                   help="p of warping a render into paired-crop geometry "
+                        "(scale 0.45-0.85, edge-anchored) during aug")
     p.add_argument("--eval_period", type=int, default=1,
                    help="epochs between val evals (centroid eval embeds "
                         "the train set; at 10k+ classes evaluate sparsely)")
@@ -105,7 +108,7 @@ def main():
         aux_ce_temp=args.aux_ce_temp, aux_init=args.aux_init,
         aux_lr_mult=args.aux_lr_mult, ref_source=args.ref_source,
         centroid_cap=args.centroid_cap, eval_period_epochs=args.eval_period,
-        adam_b2=args.adam_b2,
+        adam_b2=args.adam_b2, crop_sim=args.crop_sim,
     )
 
     classifier_mode = args.N_classes is not None

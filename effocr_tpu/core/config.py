@@ -187,6 +187,11 @@ class RecognizerTrainConfig:
                                       # every ~C/classes_per_batch steps and
                                       # b2=0.999 keeps stale variance ->
                                       # oversized steps; 0.95-0.98 is stable
+    # p of warping a render into paired-crop geometry (glyph scaled
+    # 0.45-0.85x, anchored to the line edge) during augmentation — bridges
+    # the render->crop distribution gap for classes with no paired data
+    # (data/transforms.py augment_batch crop_sim).  0 disables.
+    crop_sim: float = 0.0
 
 
 @dataclass(frozen=True)

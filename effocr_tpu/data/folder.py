@@ -52,6 +52,9 @@ class CharFolderDataset:
             for p in sorted(glob(os.path.join(root, c, "*.png"))):
                 self.data.append((p, t))
         self.targets = [t for _, t in self.data]
+        # decoded-crop memo (see load_square); ~49 KB per 128-px entry
+        self._cache: Dict[Tuple[int, int], np.ndarray] = {}
+        self.cache_max_items = 300_000
 
     def __len__(self) -> int:
         return len(self.data)
@@ -98,7 +101,15 @@ class CharFolderDataset:
     def load_square(self, idx: int, size: int = 224) -> np.ndarray:
         """uint8 [size, size, 3]: white-square-pad (MedianPad override) then
         resize — the shape-normalizing half of the transforms; scaling and
-        normalization happen on device."""
+        normalization happen on device.
+
+        Decoded crops are memoized: the training loop re-reads every item
+        every epoch (plus each centroid eval), and PNG decode on the host
+        is the step-time wall for small models — a 128-px uint8 crop is
+        ~49 KB, so even a 100k-item tree caches in ~5 GB."""
+        cached = self._cache.get((idx, size))
+        if cached is not None:
+            return cached
         from PIL import Image
 
         path, _ = self.data[idx]
@@ -107,6 +118,8 @@ class CharFolderDataset:
         if arr.shape[0] != size:
             img = Image.fromarray(arr).resize((size, size), Image.BILINEAR)
             arr = np.asarray(img)
+        if len(self._cache) < self.cache_max_items:
+            self._cache[(idx, size)] = arr
         return arr
 
     def load_batch(self, indices: Sequence[int], size: int = 224,

@@ -135,7 +135,8 @@ def _per_sample_apply(p: float, key: jax.Array, x_new: jnp.ndarray,
     return jnp.where(apply[:, None, None, None], x_new, x_old)
 
 
-@partial(jax.jit, static_argnames=("lang", "high_blur", "no_aug"))
+@partial(jax.jit, static_argnames=("lang", "high_blur", "no_aug",
+                                   "crop_sim"))
 def augment_batch(
     images_u8: jnp.ndarray,
     is_paired: jnp.ndarray,
@@ -143,6 +144,7 @@ def augment_batch(
     lang: str = "en",
     high_blur: bool = False,
     no_aug: bool = False,
+    crop_sim: float = 0.0,
 ) -> jnp.ndarray:
     """uint8 [B,S,S,3] white-padded squares -> normalized float32 crops.
 
@@ -156,7 +158,28 @@ def augment_batch(
 
     plain = x
     b, size = x.shape[0], x.shape[1]
-    keys = jax.random.split(key, 16)
+    keys = jax.random.split(key, 18)
+
+    # crop-geometry simulation: renders are full-frame centered glyphs,
+    # but real PAIRED crops hold the glyph at roughly 0.45-0.85x scale
+    # anchored to the line edge (crops are clipped to the full line
+    # height/width — format_effocr_recognizer_dataset.py:112-118 — then
+    # MedianPad pads right/bottom, so the glyph sits top-anchored for
+    # vertical jp lines and left-anchored for horizontal en lines).
+    # With p=crop_sim, warp a render into that geometry so classes with
+    # no paired data still embed near the crop distribution.
+    if crop_sim > 0.0:
+        cs = jax.random.uniform(keys[15], (b,), minval=0.45, maxval=0.85)
+        off = (1.0 - cs) * (size / 2.0)
+        zero = jnp.zeros((b,), jnp.float32)
+        if lang == "jp":
+            cs_tx, cs_ty = zero, -off      # x-centered, top-anchored
+        else:
+            cs_tx, cs_ty = -off, zero      # left-anchored, y-centered
+        b_y, b_x = _affine_matrix(size, cs, cs_tx, cs_ty)
+        x = _per_sample_apply(
+            crop_sim, keys[16], _apply_affine(x, b_y, b_x), x
+        )
 
     # random affine
     if lang == "en":
@@ -199,13 +222,17 @@ def augment_batch(
     noise = jax.random.normal(keys[13], x.shape) * jnp.sqrt(var) / 255.0
     x = _per_sample_apply(0.25, keys[9], jnp.clip(x + noise, 0.0, 1.0), x)
 
-    # gaussian blur (sigma and apply mask on independent keys)
+    # gaussian blur (sigma and apply mask on independent keys).  The
+    # reference blurs at its 224-px transform resolution; sigma scales with
+    # the actual image size so smaller training inputs (e.g. 96-px CJK
+    # glyphs whose strokes are ~2 px) aren't relatively over-blurred.
+    sscale = size / 224.0
     if high_blur:
         sig = jax.random.uniform(keys[10], (b,), minval=1.0, maxval=4.0)
-        blurred = _separable_blur(x, sig, 15)
+        blurred = _separable_blur(x, sig * sscale, 15)
     else:
         sig = jax.random.uniform(keys[10], (b,), minval=0.1, maxval=2.0)
-        blurred = _separable_blur(x, sig, 11)
+        blurred = _separable_blur(x, sig * sscale, 11)
     x = _per_sample_apply(0.3, keys[14], blurred, x)
 
     # random grayscale

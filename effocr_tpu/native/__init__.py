@@ -53,6 +53,13 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.letterbox_gray_batch.argtypes = [
+        ctypes.POINTER(u8pp), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
+        ctypes.c_int, u8pp, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
     lib.crop_square_batch.argtypes = [
         ctypes.POINTER(u8pp), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -101,6 +108,41 @@ def letterbox_batch(
     lib.letterbox_batch(
         ptrs, hs, ws, n, oh, size, channels, pad_val, num_threads,
         out.ctypes.data_as(u8pp),
+        ratios.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        lefts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, ratios, tops, lefts
+
+
+def letterbox_gray_batch(
+    images: Sequence[np.ndarray], size: int = 640, pad_val: int = 114,
+    num_threads: int = 8, out_h: Optional[int] = None, pack_bits: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fused letterbox + grayscale (+ optional 4-bit pack) for the
+    grayscale inference pipeline.  Accepts RGB (channel-mean gray, numpy
+    truncating semantics) or single-channel images.
+
+    -> (out [N, out_h, size(/2 if pack_bits==4)] u8, ratios, tops, lefts).
+    """
+    lib = _load()
+    assert lib is not None, "native preproc unavailable"
+    assert pack_bits in (4, 8)
+    n = len(images)
+    oh = out_h or size
+    channels = images[0].shape[2]
+    ow = size // 2 if pack_bits == 4 else size
+    if pack_bits == 4:
+        assert size % 2 == 0
+    out = np.empty((n, oh, ow), np.uint8)
+    ratios = np.empty((n,), np.float32)
+    tops = np.empty((n,), np.int32)
+    lefts = np.empty((n,), np.int32)
+    ptrs, hs, ws = _img_ptrs(images, channels)
+    u8pp = ctypes.POINTER(ctypes.c_uint8)
+    lib.letterbox_gray_batch(
+        ptrs, hs, ws, n, oh, size, channels, pack_bits, pad_val,
+        num_threads, out.ctypes.data_as(u8pp),
         ratios.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         tops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         lefts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

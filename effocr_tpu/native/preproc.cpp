@@ -114,6 +114,74 @@ void letterbox_batch(const uint8_t** imgs, const int* hs, const int* ws,
   });
 }
 
+// Letterbox + grayscale conversion + optional 4-bit packing in one
+// threaded pass.  This is the host side of the fused grayscale inference
+// pipeline (pipelines/infer.py _dispatch_chunk): converting with
+// numpy (float64 mean) and packing with slice arithmetic costs ~100 ms
+// per 256-line chunk on the single prep worker; here both ride the
+// resize loop.  in_channels is 3 (RGB, channel mean like np.mean) or 1.
+// pack_bits 8 -> out [n, out_h, out_w] gray; pack_bits 4 ->
+// out [n, out_h, out_w/2], two pixels per byte, even pixel in the high
+// nibble: (p0 & 0xF0) | (p1 >> 4) — bit-identical to the numpy pack.
+void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
+                          int n, int out_h, int out_w, int in_channels,
+                          int pack_bits, uint8_t pad_val, int num_threads,
+                          uint8_t* out, float* ratios, int* tops,
+                          int* lefts) {
+  const int packed_w = pack_bits == 4 ? out_w / 2 : out_w;
+  const size_t plane = static_cast<size_t>(out_h) * packed_w;
+  parallel_for(n, num_threads, [&](int i) {
+    const int h = hs[i], w = ws[i];
+    const float r = std::min(static_cast<float>(out_h) / h,
+                             static_cast<float>(out_w) / w);
+    const int nw = static_cast<int>(std::lround(w * r));
+    const int nh = static_cast<int>(std::lround(h * r));
+    const float dw = (out_w - nw) / 2.0f;
+    const float dh = (out_h - nh) / 2.0f;
+    const int top = static_cast<int>(std::lround(dh - 0.1f));
+    const int left = static_cast<int>(std::lround(dw - 0.1f));
+
+    // grayscale source: truncating mean of the channels (numpy
+    // .mean(-1).astype(uint8) semantics)
+    const uint8_t* gray_src = imgs[i];
+    std::vector<uint8_t> gray;
+    if (in_channels == 3) {
+      gray.resize(static_cast<size_t>(h) * w);
+      const uint8_t* p = imgs[i];
+      for (size_t j = 0; j < gray.size(); ++j, p += 3) {
+        gray[j] = static_cast<uint8_t>((p[0] + p[1] + p[2]) / 3);
+      }
+      gray_src = gray.data();
+    }
+
+    std::vector<uint8_t> line(static_cast<size_t>(out_h) * out_w, pad_val);
+    std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw);
+    if (nh == h && nw == w) {
+      std::memcpy(resized.data(), gray_src, resized.size());
+    } else {
+      resize_bilinear_u8(gray_src, h, w, resized.data(), nh, nw, 1);
+    }
+    for (int y = 0; y < nh; ++y) {
+      std::memcpy(line.data() + static_cast<size_t>(top + y) * out_w + left,
+                  resized.data() + static_cast<size_t>(y) * nw,
+                  static_cast<size_t>(nw));
+    }
+
+    uint8_t* dst = out + i * plane;
+    if (pack_bits == 4) {
+      const uint8_t* src = line.data();
+      for (size_t j = 0; j < plane; ++j, src += 2) {
+        dst[j] = static_cast<uint8_t>((src[0] & 0xF0) | (src[1] >> 4));
+      }
+    } else {
+      std::memcpy(dst, line.data(), plane);
+    }
+    ratios[i] = r;
+    tops[i] = top;
+    lefts[i] = left;
+  });
+}
+
 // Crop regions from original images, pad to white square (top-left
 // anchored, MedianPad-override semantics), resize to out_size; output
 // uint8 [n, out_size, out_size, 3].  rects are int32 (x0,y0,x1,y1) into

@@ -395,6 +395,20 @@ class EffOCRInference:
         size_w = c.localizer.input_size
         size_h = self._chunk_canvas_height(chunk)
         n = len(chunk)
+        from effocr_tpu import native
+
+        if (
+            c.input_channels == 1
+            and c.crop_source == "letterbox"
+            and c.transfer != "bucket"
+            and native.available()
+            and chunk
+            and all(im.shape[-1] == chunk[0].shape[-1] for im in chunk)
+            and chunk[0].shape[-1] in (1, 3)
+        ):
+            return self._dispatch_gray_native(
+                chunk, chunk_keys, size_h, size_w
+            )
         if c.input_channels == 1:
             chunk = [
                 im.mean(axis=-1, keepdims=True).astype(np.uint8)
@@ -468,6 +482,49 @@ class EffOCRInference:
         detect_out = self._detect(jnp.asarray(lb_imgs))
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                     detect_out=detect_out)
+
+    def _dispatch_gray_native(self, chunk, chunk_keys, size_h, size_w):
+        """Fused native host prep for the grayscale canvas path: one
+        threaded C++ pass (native/preproc.cpp letterbox_gray_batch) does
+        RGB->gray, letterbox, and — when transfer_bits == 4 — the nibble
+        packing, replacing three full-frame numpy passes on the single
+        prep worker.  Output is bit-identical to the numpy path."""
+        c = self.config
+        from effocr_tpu import native
+
+        n = len(chunk)
+        bits = 4 if c.transfer_bits == 4 else 8
+        w_out = size_w // 2 if bits == 4 else size_w
+        # padding byte for unused batch rows: 114 gray, packed 114|114
+        pad_byte = 0x77 if bits == 4 else 114
+        buf = np.full((c.line_batch, size_h, w_out, 1), pad_byte, np.uint8)
+        out, ratios, tops, lefts = native.letterbox_gray_batch(
+            [np.ascontiguousarray(im) for im in chunk], size_w,
+            out_h=size_h, pack_bits=bits,
+        )
+        buf[:n, :, :, 0] = out
+        metas = []
+        meta_arr = np.zeros((c.line_batch, 4), np.int32)
+        for i, raw in enumerate(chunk):
+            h, w = raw.shape[:2]
+            r = float(ratios[i])
+            new_h, new_w = int(round(h * r)), int(round(w * r))
+            metas.append(
+                dict(h=h, w=w, r=r, top=int(tops[i]), left=int(lefts[i]),
+                     new_h=new_h, new_w=new_w)
+            )
+            meta_arr[i] = (int(tops[i]), int(lefts[i]), new_h, new_w)
+        if self.classifier_mode:
+            protos = jnp.zeros((1, 1), jnp.float32)
+            row_mask = jnp.ones((1,), bool)
+        else:
+            protos = self.index.device_embeddings
+            row_mask = self.index.device_mask
+        fn = self._ocr_chunk_packed if bits == 4 else self._ocr_chunk
+        fused_out = fn(jnp.asarray(buf), jnp.asarray(meta_arr), protos,
+                       row_mask)
+        return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
+                    fused_out=fused_out)
 
     def _dispatch_bucket(self, chunk, chunk_keys, size_h, size_w):
         """Bucket transfer: ship raw-size images; letterbox on device."""

@@ -59,6 +59,7 @@ def make_train_step(model, cfg: RecognizerTrainConfig, tx,
         x = augment_batch(
             images_u8, is_paired, key, lang=cfg.lang,
             high_blur=cfg.high_blur, no_aug=cfg.no_aug,
+            crop_sim=cfg.crop_sim,
         )
 
         def loss_fn(trainable):

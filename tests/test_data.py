@@ -135,3 +135,44 @@ def test_builtin_charsets(tmp_path):
     write_charset_dir(str(tmp_path))
     chars = load_charset_dir(str(tmp_path))
     assert "a" in chars and "Z" in chars and "9" in chars and "." in chars
+
+
+def test_augment_crop_sim_geometry():
+    """crop_sim warps a render into paired-crop geometry (deterministic
+    check of the warp itself: scale s about the center then shift so the
+    content anchors to the top edge for jp vertical lines); and paired
+    samples bypass augmentation entirely."""
+    import jax
+    import jax.numpy as jnp
+
+    from effocr_tpu.core.config import IMAGENET_MEAN, IMAGENET_STD
+    from effocr_tpu.data.transforms import (
+        _affine_matrix,
+        _apply_affine,
+        augment_batch,
+    )
+
+    size = 64
+    img = np.full((size, size, 3), 255, np.uint8)
+    img[8 : size - 8, 8 : size - 8] = 0  # centered dark glyph
+    x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+
+    s = jnp.array([0.5])
+    off = (1.0 - s) * (size / 2.0)
+    a_y, a_x = _affine_matrix(size, s, jnp.zeros((1,)), -off)
+    out = np.asarray(_apply_affine(x, a_y, a_x))
+    rows = np.where((out[0].mean(-1) < 0.5).any(axis=1))[0]
+    cols = np.where((out[0].mean(-1) < 0.5).any(axis=0))[0]
+    # top-anchored, x-centered, ~half-size content
+    assert rows[0] <= 5, rows[0]
+    assert abs((rows[-1] - rows[0] + 1) - 24) <= 3
+    assert abs((cols[0] + cols[-1]) / 2 - (size - 1) / 2) <= 2
+
+    # paired samples bypass augmentation entirely (incl. crop_sim)
+    batch = jnp.asarray(np.stack([img, img]))
+    is_paired = jnp.asarray(np.array([True, True]))
+    out2 = augment_batch(batch, is_paired, jax.random.PRNGKey(0),
+                         lang="jp", crop_sim=1.0)
+    out2 = np.asarray(out2) * np.array(IMAGENET_STD) + np.array(IMAGENET_MEAN)
+    dark_rows = np.where((out2[0].mean(-1) < 0.5).any(axis=1))[0]
+    assert dark_rows[0] == 8 and dark_rows[-1] == size - 9

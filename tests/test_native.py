@@ -52,3 +52,39 @@ def test_crop_square_batch(rng):
     )
     diff = np.abs(out[0].astype(int) - ref.astype(int))
     assert (diff <= 3).mean() > 0.98
+
+
+def test_letterbox_gray_batch_matches_numpy_path(rng):
+    """Fused native gray+letterbox(+4-bit pack) is bit-identical to the
+    python path it replaces (pipelines/infer.py _dispatch_chunk: channel
+    mean -> letterbox_batch -> nibble pack)."""
+    imgs = [
+        np.ascontiguousarray(
+            rng.integers(0, 256, (int(h), int(w), 3)).astype(np.uint8)
+        )
+        for h, w in [(40, 300), (64, 1100), (31, 257)]
+    ]
+    gray = [im.mean(axis=-1, keepdims=True).astype(np.uint8) for im in imgs]
+    ref, rr, rt, rl = native.letterbox_batch(
+        [np.ascontiguousarray(g) for g in gray], 640, out_h=64
+    )
+    packed_ref = (ref[:, :, 0::2] & 0xF0) | (ref[:, :, 1::2] >> 4)
+
+    out8, r8, t8, l8 = native.letterbox_gray_batch(
+        imgs, 640, out_h=64, pack_bits=8
+    )
+    np.testing.assert_array_equal(out8, ref[..., 0])
+    np.testing.assert_array_equal(r8, rr)
+    np.testing.assert_array_equal(t8, rt)
+    np.testing.assert_array_equal(l8, rl)
+
+    out4, _, _, _ = native.letterbox_gray_batch(
+        imgs, 640, out_h=64, pack_bits=4
+    )
+    np.testing.assert_array_equal(out4, packed_ref[..., 0])
+
+    # single-channel input accepted directly
+    out1, _, _, _ = native.letterbox_gray_batch(
+        [np.ascontiguousarray(g) for g in gray], 640, out_h=64, pack_bits=8
+    )
+    np.testing.assert_array_equal(out1, ref[..., 0])
