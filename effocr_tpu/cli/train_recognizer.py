@@ -73,6 +73,10 @@ def main():
     p.add_argument("--crop_sim", type=float, default=0.0,
                    help="p of warping a render into paired-crop geometry "
                         "(scale 0.45-0.85, edge-anchored) during aug")
+    p.add_argument("--data_device", type=str, default="stream",
+                   choices=["stream", "resident"],
+                   help="resident: upload the dataset to HBM once (gray "
+                        "uint8 bank); steps ship int32 indices only")
     p.add_argument("--eval_period", type=int, default=1,
                    help="epochs between val evals (centroid eval embeds "
                         "the train set; at 10k+ classes evaluate sparsely)")
@@ -109,6 +113,7 @@ def main():
         aux_lr_mult=args.aux_lr_mult, ref_source=args.ref_source,
         centroid_cap=args.centroid_cap, eval_period_epochs=args.eval_period,
         adam_b2=args.adam_b2, crop_sim=args.crop_sim,
+        data_device=args.data_device,
     )
 
     classifier_mode = args.N_classes is not None

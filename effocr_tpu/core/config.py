@@ -192,6 +192,12 @@ class RecognizerTrainConfig:
     # the render->crop distribution gap for classes with no paired data
     # (data/transforms.py augment_batch crop_sim).  0 disables.
     crop_sim: float = 0.0
+    # "resident": upload the whole dataset to HBM once as a gray uint8
+    # bank and ship int32 indices per step (train + eval embed).  The
+    # TPU-native input pipeline for datasets that fit in HBM (a 110k-item
+    # 128-px tree is 1.8 GB), and required for long runs behind the axon
+    # transport, which retains every host->device transfer buffer.
+    data_device: str = "stream"       # {"stream", "resident"}
 
 
 @dataclass(frozen=True)

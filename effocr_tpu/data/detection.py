@@ -47,7 +47,7 @@ class DetectionDataset:
         return len(self.images)
 
     def load(self, i: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict]:
-        """-> (letterboxed float image [S,S,3], targets [T,5], mask [T],
+        """-> (letterboxed uint8 image [S,S,3], targets [T,5], mask [T],
         gt dict in letterbox space for eval)."""
         from PIL import Image
 
@@ -59,7 +59,10 @@ class DetectionDataset:
         )
         size = self.input_size
         lb, r, (dw, dh) = letterbox_host(img, (self.input_height, size))
-        x = lb.astype(np.float32) / 255.0
+        # uint8 out: the train/eval programs normalize on device — a f32
+        # canvas would quadruple the host->device transfer per step (and
+        # this environment's transport retains every transfer buffer)
+        x = lb
         # the image content is pasted at the ROUNDED offsets
         # (letterbox rounding, localizer_engine.py:135-136); targets must
         # use the same offsets or every box carries a sub-pixel skew
@@ -97,8 +100,8 @@ class DetectionDataset:
             idx = order[s : s + batch_size]
             if len(idx) < batch_size and drop_last:
                 break
-            imgs = np.zeros(
-                (batch_size, self.input_height, size, 3), np.float32
+            imgs = np.full(
+                (batch_size, self.input_height, size, 3), 114, np.uint8
             )
             tgts = np.zeros((batch_size, self.max_targets, 5), np.float32)
             masks = np.zeros((batch_size, self.max_targets), bool)

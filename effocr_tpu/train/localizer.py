@@ -66,7 +66,10 @@ def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
     two_stage = anchors is None and hasattr(model, "num_proposals")
 
     def step(state, images, targets, target_mask):
-        """images float [B,S,S,3] in [0,1]; targets [B,T,5] (cls,cx,cy,w,h px)."""
+        """images [B,S,S,3] uint8 (normalized here — ship bytes, not
+        floats) or float in [0,1]; targets [B,T,5] (cls,cx,cy,w,h px)."""
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
 
         def loss_fn(params):
             variables = {"params": params,
@@ -147,7 +150,12 @@ class LocalizerTrainer:
         )
         self._infer_fn = jax.jit(
             lambda variables, x: decode_and_nms(
-                model.apply(variables, x, train=False)[0],
+                model.apply(
+                    variables,
+                    x.astype(jnp.float32) / 255.0
+                    if x.dtype == jnp.uint8 else x,
+                    train=False,
+                )[0],
                 conf_thresh=0.001,  # low-conf eval sweep for mAP
                 iou_thresh=0.45,
                 max_nms=cfg.localizer.max_nms,

@@ -47,20 +47,32 @@ from effocr_tpu.train.metrics import MetricsWriter
 
 def make_train_step(model, cfg: RecognizerTrainConfig, tx,
                     classifier_mode: bool, mesh: Optional[Mesh] = None,
-                    use_aux: bool = False):
+                    use_aux: bool = False, bank_mode: bool = False):
     """Build the jitted (augment -> forward -> loss -> update) step.
 
     use_aux: optimize an auxiliary cosine-classifier head alongside SupCon
     (state carries "aux" = {"w": [C, D]} and opt_state covers the combined
     {"model", "aux"} tree).
+
+    bank_mode: the dataset lives in HBM as a gray uint8 bank [N, S, S]
+    (+ per-item targets/paired arrays); the step takes int32 indices and
+    gathers on device.  This keeps the host->device link traffic per step
+    at ~1 KB — on this environment the transport retains every transfer
+    buffer (host RSS grows by the payload), so streaming pixel batches
+    OOMs long runs; it is also simply the right TPU design for datasets
+    that fit in HBM.
     """
 
-    def step(state, images_u8, targets, is_paired, key):
-        x = augment_batch(
+    def prepare(images_u8, is_paired, key):
+        if images_u8.ndim == 3:  # gray bank rows -> RGB
+            images_u8 = jnp.repeat(images_u8[..., None], 3, axis=-1)
+        return augment_batch(
             images_u8, is_paired, key, lang=cfg.lang,
             high_blur=cfg.high_blur, no_aug=cfg.no_aug,
             crop_sim=cfg.crop_sim,
         )
+
+    def body(state, x, targets, key):
 
         def loss_fn(trainable):
             params = trainable["model"] if use_aux else trainable
@@ -104,6 +116,26 @@ def make_train_step(model, cfg: RecognizerTrainConfig, tx,
             new_state["aux"] = new_trainable["aux"]
         return new_state, loss
 
+    def step(state, images_u8, targets, is_paired, key):
+        return body(state, prepare(images_u8, is_paired, key), targets, key)
+
+    def step_bank(state, bank, bank_targets, bank_paired, idx, key):
+        images_u8 = jnp.take(bank, idx, axis=0)
+        targets = jnp.take(bank_targets, idx, axis=0)
+        is_paired = jnp.take(bank_paired, idx, axis=0)
+        return body(state, prepare(images_u8, is_paired, key), targets, key)
+
+    if bank_mode:
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            return jax.jit(
+                step_bank,
+                in_shardings=(repl, repl, repl, repl, data, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step_bank, donate_argnums=(0,))
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
@@ -142,6 +174,18 @@ class RecognizerTrainer:
         self._embed_fn = jax.jit(
             lambda variables, x: model.apply(variables, x, train=False)
         )
+
+        def embed_bank(variables, bank, idx):
+            from effocr_tpu.kernels.image_ops import normalize_imagenet
+
+            g = jnp.take(bank, idx, axis=0).astype(jnp.float32) / 255.0
+            x = normalize_imagenet(jnp.repeat(g[..., None], 3, axis=-1))
+            return model.apply(variables, x, train=False)
+
+        self._embed_bank_fn = jax.jit(embed_bank)
+        self.bank = None            # HBM-resident gray dataset (see
+        self._bank_targets = None   # make_train_step bank_mode)
+        self._bank_paired = None
         self.state = None
         self.best_acc = -1.0
 
@@ -179,7 +223,7 @@ class RecognizerTrainer:
             self.tx = adamw()
         self._step_fn = make_train_step(
             self.model, cfg, self.tx, self.classifier_mode, self.mesh,
-            use_aux=self.use_aux,
+            use_aux=self.use_aux, bank_mode=self.bank is not None,
         )
         if self.use_aux:
             trainable = {"model": self.state["params"],
@@ -251,6 +295,24 @@ class RecognizerTrainer:
         return v
 
     # ---------------------------------------------------------------- embed
+    def attach_bank(self, dataset: CharFolderDataset) -> None:
+        """Upload the whole dataset to HBM as a gray uint8 bank; training
+        and eval then ship int32 indices only (make_train_step bank_mode)."""
+        if self.bank is not None:
+            return
+        size = self.cfg.encoder.image_size
+        bank = dataset.decode_all_gray(size)
+        put = (
+            (lambda a: jax.device_put(a, NamedSharding(self.mesh, P())))
+            if self.mesh is not None else jax.device_put
+        )
+        self.bank = put(bank)
+        self._bank_targets = put(np.asarray(dataset.targets, np.int32))
+        self._bank_paired = put(
+            np.asarray([dataset.is_paired(i) for i in range(len(dataset.data))],
+                       bool)
+        )
+
     def embed_indices(self, dataset: CharFolderDataset,
                       indices: Sequence[int], batch_size: int = 128
                       ) -> Tuple[np.ndarray, np.ndarray]:
@@ -262,13 +324,23 @@ class RecognizerTrainer:
         for s in range(0, len(indices), batch_size):
             chunk = list(indices[s : s + batch_size])
             pad = batch_size - len(chunk)
-            imgs, targets, _ = dataset.load_batch(chunk, size)
-            if pad:
-                imgs = np.concatenate(
-                    [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+            targets = np.asarray(
+                [dataset.targets[i] for i in chunk], np.int32
+            )
+            if self.bank is not None:
+                idx = np.asarray(chunk + [0] * pad, np.int32)
+                out = np.asarray(
+                    self._embed_bank_fn(self.variables, self.bank,
+                                        jnp.asarray(idx))
                 )
-            x = normalize_imagenet(jnp.asarray(imgs, jnp.float32) / 255.0)
-            out = np.asarray(self._embed_fn(self.variables, x))
+            else:
+                imgs, targets, _ = dataset.load_batch(chunk, size)
+                if pad:
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+                    )
+                x = normalize_imagenet(jnp.asarray(imgs, jnp.float32) / 255.0)
+                out = np.asarray(self._embed_fn(self.variables, x))
             embs.append(out[: len(chunk)])
             labels.append(targets)
         return np.concatenate(embs), np.concatenate(labels)
@@ -342,6 +414,8 @@ class RecognizerTrainer:
         key = jax.random.PRNGKey(cfg.seed)
         if self.state is None:
             self.init_state(key)
+        if cfg.data_device == "resident":
+            self.attach_bank(dataset)
 
         train_labels = [dataset.targets[i] for i in idx_train]
         local_of_global = {g: i for i, g in enumerate(idx_train)}
@@ -392,12 +466,21 @@ class RecognizerTrainer:
             sampler = make_sampler(epoch)
             for batch_local in batch_iterator(iter(sampler), cfg.batch_size):
                 global_idx = [idx_train[i] for i in batch_local]
-                imgs, targets, paired = dataset.load_batch(global_idx, size)
                 key, sub = jax.random.split(key)
-                self.state, loss = self._step_fn(
-                    self.state, jnp.asarray(imgs), jnp.asarray(targets),
-                    jnp.asarray(paired), sub,
-                )
+                if self.bank is not None:
+                    self.state, loss = self._step_fn(
+                        self.state, self.bank, self._bank_targets,
+                        self._bank_paired,
+                        jnp.asarray(np.asarray(global_idx, np.int32)), sub,
+                    )
+                else:
+                    imgs, targets, paired = dataset.load_batch(
+                        global_idx, size
+                    )
+                    self.state, loss = self._step_fn(
+                        self.state, jnp.asarray(imgs), jnp.asarray(targets),
+                        jnp.asarray(paired), sub,
+                    )
                 if step % 50 == 0:
                     self.metrics.log(
                         {"train/loss": float(loss)}, step=step

@@ -224,3 +224,34 @@ def test_fit_anchors(rng):
     # cluster centers recovered approximately
     assert np.abs(anchors[0] - [16, 24]).max() < 6
     assert np.abs(anchors[-1] - [80, 40]).max() < 8
+
+
+def test_recognizer_resident_bank(char_tree, tmp_path):
+    """data_device="resident": the dataset is uploaded to HBM once as a
+    gray uint8 bank and steps ship indices only; embeddings from the bank
+    path match the streamed path on the same weights."""
+    ds = CharFolderDataset(char_tree)
+    idx_train, idx_val, _ = split_indices(ds, ["line0"], ["line1"], ["line1"])
+    cfg = RecognizerTrainConfig(
+        encoder=EncoderConfig(arch="convnext_atto", image_size=64),
+        batch_size=6, m_per_class=2, num_epochs=1, lr=1e-4, lang="en",
+        data_device="resident", aux_ce_weight=1.0, ref_source="centroid",
+        centroid_cap=4,
+    )
+    model = create_encoder("convnext_atto", dtype=jnp.float32)
+    trainer = RecognizerTrainer(cfg, model, str(tmp_path / "run_bank"))
+    trainer.init_state(jax.random.PRNGKey(0))
+    acc = trainer.fit(ds, idx_train, idx_val, ds.render_indices())
+    assert 0.0 <= acc <= 1.0
+    assert trainer.bank is not None
+
+    # bank-path embeddings == streamed-path embeddings (same weights);
+    # the bank stores gray uint8 of the same decoded crops, and the
+    # streamed path sees achromatic crops, so embeddings must agree
+    probe = idx_train[:4]
+    e_bank, l_bank = trainer.embed_indices(ds, probe)
+    bank, trainer.bank = trainer.bank, None
+    e_stream, l_stream = trainer.embed_indices(ds, probe)
+    trainer.bank = bank
+    np.testing.assert_array_equal(l_bank, l_stream)
+    np.testing.assert_allclose(e_bank, e_stream, rtol=2e-2, atol=2e-2)
