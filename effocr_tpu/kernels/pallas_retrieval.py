@@ -41,7 +41,11 @@ def _top1_kernel(q_ref, p_ref, mask_ref, score_ref, idx_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    sims = jnp.where(mask_ref[:][None, :] != 0, sims, NEG_INF)
+    # mask is [1, BC]; broadcasts over the query rows.  (Kept 2-D end to
+    # end: 1-D s32 operands get an XLA minor tiling of T(1024) at large C,
+    # which conflicts with any block_c != 1024 — Mosaic rejects the
+    # layout.  2-D arrays use the standard (8, 128) tiling at every size.)
+    sims = jnp.where(mask_ref[:] != 0, sims, NEG_INF)
 
     bc = sims.shape[1]
     tile_best = jnp.max(sims, axis=1, keepdims=True)          # [BN, 1]
@@ -83,7 +87,7 @@ def pallas_top1(
     c_pad = -c % block_c
     q = jnp.pad(queries.astype(jnp.float32), ((0, n_pad), (0, 0)))
     p = jnp.pad(prototypes.astype(jnp.float32), ((0, c_pad), (0, 0)))
-    m = jnp.pad(row_mask, (0, c_pad))  # padded protos masked out
+    m = jnp.pad(row_mask, (0, c_pad))[None, :]  # padded protos masked out
 
     grid = (q.shape[0] // block_q, p.shape[0] // block_c)
     scores, idx = pl.pallas_call(
@@ -94,7 +98,7 @@ def pallas_top1(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_c, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_c,), lambda i, j: (j,),
+            pl.BlockSpec((1, block_c), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -81,9 +81,17 @@ class PrototypeIndex:
     @classmethod
     def load(cls, dirpath: str) -> "PrototypeIndex":
         data = np.load(os.path.join(dirpath, REF_NPZ))
-        with open(os.path.join(dirpath, REF_TXT)) as f:
-            # reference parses with .split() (infer_effocr_onnx_multi.py:503)
-            chars = f.read().split()
+        with open(os.path.join(dirpath, REF_TXT), newline="") as f:
+            # one char per line.  The reference parses with .split()
+            # (infer_effocr_onnx_multi.py:503), which is equivalent for its
+            # curated charsets but silently swallows whitespace characters
+            # (U+3000 ideographic space etc.) that font-coverage charsets
+            # legitimately contain — line-based parsing keeps every row
+            # aligned with its embedding.
+            text = f.read()
+            if text.endswith("\n"):
+                text = text[:-1]
+            chars = text.split("\n")
         thumbs = data["thumbnails"] if "thumbnails" in data else None
         return cls(data["embeddings"], chars, thumbnails=thumbs)
 

@@ -388,3 +388,19 @@ def test_pipeline_adaptive_canvas_height(engine_parts):
     results = engine.run(imgs)
     for i, t in enumerate(texts):
         assert results[i] == t, (tier, results[i], t)
+
+
+def test_prototype_index_roundtrip_whitespace_chars(tmp_path):
+    """ref.txt round-trip keeps whitespace characters (U+3000 etc.) that
+    font-coverage charsets contain — row i must decode to chars[i] even
+    when some char IS whitespace (the reference's .split() parse swallows
+    them and shifts every later row)."""
+    import numpy as np
+
+    chars = ["あ", "　", "ん", " "]
+    embs = np.eye(4, 8, dtype=np.float32)
+    index = PrototypeIndex(embs, chars)
+    index.save(str(tmp_path))
+    loaded = PrototypeIndex.load(str(tmp_path))
+    assert loaded.chars == chars
+    assert loaded.embeddings.shape == (4, 8)
