@@ -48,6 +48,10 @@ def main():
     p.add_argument("--eval_period", type=int, default=1,
                    help="epochs between evals")
     p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--data_device", type=str, default="stream",
+                   choices=["stream", "resident"],
+                   help="resident: letterbox the corpus once into an HBM "
+                        "uint8 bank; steps ship int32 indices only")
     p.add_argument("--wandb", action="store_true", default=False)
     args = p.parse_args()
 
@@ -100,15 +104,32 @@ def main():
     if args.resume:
         trainer.resume()
 
+    import numpy as np
+
     step = 0
     for epoch in range(args.num_epochs):
         train_ds = train_sets[epoch % len(train_sets)]
-        for imgs, tgts, masks, _ in train_ds.batches(
-            args.batch_size, seed=cfg.seed + epoch
-        ):
-            loss, parts = trainer.train_step(
-                jnp.asarray(imgs), jnp.asarray(tgts), jnp.asarray(masks)
+        if args.data_device == "resident":
+            order = np.arange(len(train_ds))
+            np.random.default_rng(cfg.seed + epoch).shuffle(order)
+            losses = (
+                trainer.train_step_bank(
+                    train_ds, order[s : s + args.batch_size]
+                )
+                for s in range(
+                    0, len(order) - args.batch_size + 1, args.batch_size
+                )
             )
+        else:
+            losses = (
+                trainer.train_step(
+                    jnp.asarray(imgs), jnp.asarray(tgts), jnp.asarray(masks)
+                )
+                for imgs, tgts, masks, _ in train_ds.batches(
+                    args.batch_size, seed=cfg.seed + epoch
+                )
+            )
+        for loss, parts in losses:
             if step % 50 == 0:
                 trainer.metrics.log({"train/loss": loss, **parts}, step=step)
                 print(f"epoch {epoch} step {step}: loss={loss:.4f}")

@@ -88,6 +88,21 @@ class DetectionDataset:
               "classes": np.asarray(gt_classes, int)}
         return x, targets, mask, gt
 
+    def materialize(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode + letterbox every image once: (canvases uint8 [N,H,W,3],
+        targets [N,T,5], masks [N,T]) — the host half of the detector's
+        HBM-resident bank (LocalizerTrainer.attach_bank).  A 6k-image
+        640x96 corpus is ~1.1 GB."""
+        n = len(self)
+        imgs = np.full(
+            (n, self.input_height, self.input_size, 3), 114, np.uint8
+        )
+        tgts = np.zeros((n, self.max_targets, 5), np.float32)
+        masks = np.zeros((n, self.max_targets), bool)
+        for i in range(n):
+            imgs[i], tgts[i], masks[i], _ = self.load(i)
+        return imgs, tgts, masks
+
     def batches(
         self, batch_size: int, shuffle: bool = True, seed: int = 0,
         drop_last: bool = True,

@@ -59,10 +59,16 @@ def fit_anchors(boxes_wh: np.ndarray, n: int = 9, iters: int = 50,
 
 
 def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
-                             anchors, mesh: Optional[Mesh] = None):
+                             anchors, mesh: Optional[Mesh] = None,
+                             bank_mode: bool = False):
     """Loss dispatch by family: anchors!=None -> YOLOv5 anchor-matching
     loss; two-stage models (num_proposals attr) -> Faster R-CNN RPN+ROI
-    loss; otherwise the anchor-free (FCOS) loss."""
+    loss; otherwise the anchor-free (FCOS) loss.
+
+    bank_mode: canvases/targets live in HBM (LocalizerTrainer.attach_bank);
+    the step gathers by int32 index — same rationale as the recognizer's
+    resident bank (host PNG decode off the step path; ~1 KB/step on the
+    host->device link instead of megabytes)."""
     two_stage = anchors is None and hasattr(model, "num_proposals")
 
     def step(state, images, targets, target_mask):
@@ -114,6 +120,25 @@ def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
         }
         return new_state, loss, parts
 
+    def step_bank(state, bank_imgs, bank_targets, bank_masks, idx):
+        return step(
+            state,
+            jnp.take(bank_imgs, idx, axis=0),
+            jnp.take(bank_targets, idx, axis=0),
+            jnp.take(bank_masks, idx, axis=0),
+        )
+
+    if bank_mode:
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            return jax.jit(
+                step_bank,
+                in_shardings=(repl, repl, repl, repl, data),
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step_bank, donate_argnums=(0,))
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
@@ -148,6 +173,10 @@ class LocalizerTrainer:
         self._step_fn = make_detector_train_step(
             model, cfg, self.tx, self.anchors, mesh
         )
+        self._step_bank_fn = make_detector_train_step(
+            model, cfg, self.tx, self.anchors, mesh, bank_mode=True
+        )
+        self._banks = {}  # id(dataset) -> HBM (imgs, targets, masks)
         self._infer_fn = jax.jit(
             lambda variables, x: decode_and_nms(
                 model.apply(
@@ -190,6 +219,29 @@ class LocalizerTrainer:
     def train_step(self, images, targets, target_mask):
         self.state, loss, parts = self._step_fn(
             self.state, images, targets, target_mask
+        )
+        return float(loss), {k: float(v) for k, v in parts.items()}
+
+    # ------------------------------------------------------ resident bank
+    def attach_bank(self, dataset):
+        """Materialize a DetectionDataset into HBM (uint8 canvases +
+        padded targets/masks); one bank per dataset (multi_height rotates
+        several).  See make_detector_train_step bank_mode."""
+        key = id(dataset)
+        if key not in self._banks:
+            imgs, tgts, masks = dataset.materialize()
+            put = (
+                (lambda a: jax.device_put(a, NamedSharding(self.mesh, P())))
+                if self.mesh is not None else jax.device_put
+            )
+            self._banks[key] = (put(imgs), put(tgts), put(masks))
+        return self._banks[key]
+
+    def train_step_bank(self, dataset, indices):
+        bi, bt, bm = self.attach_bank(dataset)
+        self.state, loss, parts = self._step_bank_fn(
+            self.state, bi, bt, bm,
+            jnp.asarray(np.asarray(indices, np.int32)),
         )
         return float(loss), {k: float(v) for k, v in parts.items()}
 

@@ -255,3 +255,56 @@ def test_recognizer_resident_bank(char_tree, tmp_path):
     trainer.bank = bank
     np.testing.assert_array_equal(l_bank, l_stream)
     np.testing.assert_allclose(e_bank, e_stream, rtol=2e-2, atol=2e-2)
+
+
+def test_localizer_resident_bank(tmp_path):
+    """Detector resident bank: materialized canvases/targets gathered by
+    index produce the same loss trajectory as streamed batches."""
+    import json
+
+    from PIL import Image
+
+    from effocr_tpu.data.detection import DetectionDataset
+    from effocr_tpu.train.localizer import LocalizerTrainer
+    from effocr_tpu.core.config import LocalizerConfig, LocalizerTrainConfig
+    from effocr_tpu.models import create_localizer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    coco = {"images": [], "annotations": [], "categories": [
+        {"id": 0, "name": "char"}, {"id": 1, "name": "word"}]}
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = np.full((40, 200, 3), 255, np.uint8)
+        arr[10:30, 20 + 10 * i : 40 + 10 * i] = 0
+        Image.fromarray(arr).save(img_dir / f"l{i}.png")
+        coco["images"].append({"id": i, "file_name": f"l{i}.png",
+                               "width": 200, "height": 40, "text": "x"})
+        coco["annotations"].append(
+            {"id": i, "image_id": i, "category_id": 0,
+             "bbox": [20 + 10 * i, 10, 20, 20], "area": 400, "iscrowd": 0})
+    cj = tmp_path / "c.json"
+    cj.write_text(json.dumps(coco))
+
+    ds = DetectionDataset(str(cj), str(img_dir), input_size=256,
+                          input_height=64, max_targets=8)
+    imgs_bank, tgts_bank, masks_bank = ds.materialize()
+    assert imgs_bank.shape == (4, 64, 256, 3) and imgs_bank.dtype == np.uint8
+
+    cfg = LocalizerTrainConfig(
+        localizer=LocalizerConfig(arch="yolov5n", input_size=256,
+                                  input_height=64, num_classes=2),
+        batch_size=2, lr=1e-3, num_epochs=1,
+    )
+    model = create_localizer("yolov5n", num_classes=2, dtype=jnp.float32)
+    tr_a = LocalizerTrainer(cfg, model, str(tmp_path / "a"), total_steps=2)
+    tr_a.init_state(jax.random.PRNGKey(0), 256)
+    tr_b = LocalizerTrainer(cfg, model, str(tmp_path / "b"), total_steps=2)
+    tr_b.init_state(jax.random.PRNGKey(0), 256)
+
+    imgs, tgts, masks, _ = next(iter(ds.batches(2, shuffle=False)))
+    loss_stream, _ = tr_a.train_step(
+        jnp.asarray(imgs), jnp.asarray(tgts), jnp.asarray(masks)
+    )
+    loss_bank, _ = tr_b.train_step_bank(ds, [0, 1])
+    assert abs(loss_stream - loss_bank) < 1e-4, (loss_stream, loss_bank)
