@@ -40,7 +40,8 @@ class Seq2SeqDataset:
         img = img.resize((max(nw, 1), self.img_h))
         canvas = Image.new("RGB", (self.img_w, self.img_h), (255, 255, 255))
         canvas.paste(img, (0, 0))
-        x = np.asarray(canvas, np.float32) / 255.0
+        # uint8 out: Seq2SeqOCR.encode normalizes on device
+        x = np.asarray(canvas, np.uint8)
         ids, mask = self.tok.encode(text, self.max_len)
         return x, ids, mask, text
 

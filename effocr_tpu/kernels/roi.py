@@ -29,16 +29,19 @@ import jax.numpy as jnp
 from effocr_tpu.kernels.image_ops import normalize_imagenet
 
 
-def _interp_matrix(side: jnp.ndarray, out_size: int, window: int) -> jnp.ndarray:
+def _interp_matrix(side: jnp.ndarray, out_size: int, window: int,
+                   offset: jnp.ndarray | float = 0.0) -> jnp.ndarray:
     """[out_size, window] bilinear weights resampling [0, side) -> out_size.
 
     side: scalar (float) crop side length.  Rows are hat functions around
-    src = clip((i+0.5)*side/out - 0.5, 0, side-1); columns >= side get no
-    weight via the clip (white content handles the rest).
+    src = offset + clip((i+0.5)*side/out - 0.5, 0, side-1); columns >= the
+    content get no weight via the clip (white content handles the rest).
+    offset shifts the sample positions — the single-axis gather paths fold
+    the crop's start coordinate into the matrix instead of slicing.
     """
     i = jnp.arange(out_size, dtype=jnp.float32)
     src = (i + 0.5) * (side / out_size) - 0.5
-    src = jnp.clip(src, 0.0, jnp.maximum(side - 1.0, 0.0))
+    src = offset + jnp.clip(src, 0.0, jnp.maximum(side - 1.0, 0.0))
     s = jnp.arange(window, dtype=jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - s[None, :]))
 
@@ -67,14 +70,6 @@ def crop_lines_to_squares(
     Returns [N, out_size, out_size, 3] ImageNet-normalized crops.
     """
     b, h, w, _ = images.shape
-    # Pad right/bottom with white so any window starting inside the image
-    # fits, and out-of-image content is white.
-    padded = jnp.pad(
-        images,
-        ((0, 0), (0, window), (0, window), (0, 0)),
-        constant_values=white,
-    )
-
     rects = rects.astype(jnp.int32)
     x0 = jnp.clip(rects[:, 0], 0, w - 1)
     y0 = jnp.clip(rects[:, 1], 0, h - 1)
@@ -88,23 +83,103 @@ def crop_lines_to_squares(
     side = jnp.maximum(cw, ch)
 
     n_channels = images.shape[-1]
+    n = rects.shape[0]
+    img_idx = img_idx.astype(jnp.int32)
 
-    def _slice(bi, yi, xi):
-        return jax.lax.dynamic_slice(
-            padded, (bi, yi, xi, 0), (1, window, window, n_channels)
-        )[0]
+    # ---- window extraction ------------------------------------------------
+    # The general 2-D case vmaps a dynamic_slice per crop; XLA:TPU lowers
+    # that patch gather to a sequential while loop (~44 us per crop — it
+    # dominated the fused OCR program at 6k crops/chunk).  When the canvas
+    # fits the window along one axis — every rectangular-canvas config:
+    # horizontal lines are height-bound, vertical lines width-bound — only
+    # the OTHER axis needs dynamic indexing, and a flat row-gather (the
+    # fast embedding-lookup path) fetches all windows at once; the
+    # static-axis start offset folds into that axis's interpolation matrix.
+    if h <= window:
+        # dynamic in x only: wins[n, i, j] = padded[b_n, i, x0_n + j]
+        pad_x = jnp.pad(
+            images, ((0, 0), (0, 0), (0, window), (0, 0)),
+            constant_values=white,
+        )  # [B, H, W+S, C]
+        wp = w + window
+        flat = pad_x.transpose(0, 2, 1, 3).reshape(b * wp, h * n_channels)
+        row_idx = (img_idx * wp + x0)[:, None] + jnp.arange(window)[None, :]
+        cols = jnp.take(flat, row_idx.reshape(-1), axis=0)
+        wins = (
+            cols.reshape(n, window, h, n_channels).transpose(0, 2, 1, 3)
+        )  # [N, H, S, C]
+        rows = jnp.arange(h, dtype=jnp.float32)
+        iy = jnp.arange(window, dtype=jnp.float32)
+        in_content = (
+            (rows[None, :, None] >= y0[:, None, None].astype(jnp.float32))
+            & (rows[None, :, None]
+               < (y0[:, None, None].astype(jnp.float32) + ch[:, None, None]))
+            & (iy[None, None, :] < cw[:, None, None])
+        )  # [N, H, S]
+        wins = jnp.where(in_content[..., None], wins, white)
+        # absolute row positions never exceed y0 + side - 1 < h + window
+        wins = jnp.pad(
+            wins, ((0, 0), (0, window), (0, 0), (0, 0)),
+            constant_values=white,
+        )
+        a_y = jax.vmap(
+            lambda s, o: _interp_matrix(s, out_size, h + window, o)
+        )(side, y0.astype(jnp.float32))
+        a_x = jax.vmap(lambda s: _interp_matrix(s, out_size, window))(side)
+    elif w <= window:
+        # dynamic in y only (vertical canvases): wins[n,i,j] =
+        # padded[b_n, y0_n + i, j]
+        pad_y = jnp.pad(
+            images, ((0, 0), (0, window), (0, 0), (0, 0)),
+            constant_values=white,
+        )  # [B, H+S, W, C]
+        hp = h + window
+        flat = pad_y.reshape(b * hp, w * n_channels)
+        row_idx = (img_idx * hp + y0)[:, None] + jnp.arange(window)[None, :]
+        rows_g = jnp.take(flat, row_idx.reshape(-1), axis=0)
+        wins = rows_g.reshape(n, window, w, n_channels)  # [N, S, W, C]
+        cols = jnp.arange(w, dtype=jnp.float32)
+        iy = jnp.arange(window, dtype=jnp.float32)
+        in_content = (
+            (iy[None, :, None] < ch[:, None, None])
+            & (cols[None, None, :] >= x0[:, None, None].astype(jnp.float32))
+            & (cols[None, None, :]
+               < (x0[:, None, None].astype(jnp.float32) + cw[:, None, None]))
+        )  # [N, S, W]
+        wins = jnp.where(in_content[..., None], wins, white)
+        wins = jnp.pad(
+            wins, ((0, 0), (0, 0), (0, window), (0, 0)),
+            constant_values=white,
+        )
+        a_y = jax.vmap(lambda s: _interp_matrix(s, out_size, window))(side)
+        a_x = jax.vmap(
+            lambda s, o: _interp_matrix(s, out_size, w + window, o)
+        )(side, x0.astype(jnp.float32))
+    else:
+        # general 2-D dynamic window (square canvases with window smaller
+        # than both axes); pad right/bottom with white so any window
+        # starting inside the image fits
+        padded = jnp.pad(
+            images,
+            ((0, 0), (0, window), (0, window), (0, 0)),
+            constant_values=white,
+        )
 
-    wins = jax.vmap(_slice)(img_idx.astype(jnp.int32), y0, x0)  # [N,S,S,3]
+        def _slice(bi, yi, xi):
+            return jax.lax.dynamic_slice(
+                padded, (bi, yi, xi, 0), (1, window, window, n_channels)
+            )[0]
 
-    iy = jnp.arange(window, dtype=jnp.float32)
-    in_content = (
-        (iy[None, :, None] < ch[:, None, None])
-        & (iy[None, None, :] < cw[:, None, None])
-    )  # [N,S,S]
-    wins = jnp.where(in_content[..., None], wins, white)
+        wins = jax.vmap(_slice)(img_idx, y0, x0)  # [N,S,S,C]
 
-    a_y = jax.vmap(lambda s: _interp_matrix(s, out_size, window))(side)
-    a_x = a_y  # square target: same mapping both axes
+        iy = jnp.arange(window, dtype=jnp.float32)
+        in_content = (
+            (iy[None, :, None] < ch[:, None, None])
+            & (iy[None, None, :] < cw[:, None, None])
+        )  # [N,S,S]
+        wins = jnp.where(in_content[..., None], wins, white)
+        a_y = jax.vmap(lambda s: _interp_matrix(s, out_size, window))(side)
+        a_x = a_y  # square target: same mapping both axes
 
     wins = wins.astype(jnp.float32)
     t = jnp.einsum("nis,nswc->niwc", a_y, wins)          # rows

@@ -179,3 +179,54 @@ def test_decode_and_nms_suppresses_duplicates():
         jnp.asarray(a), conf_thresh=0.35, iou_thresh=0.45, max_nms=4, max_det=4
     )
     assert int(np.asarray(valid).sum()) == 1
+
+
+def test_roi_single_axis_gather_matches_general(rng):
+    """The single-axis row-gather fast paths (canvas fits the window along
+    one axis — every rectangular-canvas config) must match the general 2-D
+    dynamic-window path pixel for pixel.  Crop sides are kept within both
+    windows so the clamp semantics agree."""
+    b, h, w = 3, 32, 128
+    images = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    n = 17
+    x0 = rng.integers(0, w - 24, n).astype(np.int32)
+    y0 = rng.integers(0, h - 18, n).astype(np.int32)
+    rects = np.stack(
+        [x0, y0, x0 + rng.integers(4, 18, n),
+         y0 + rng.integers(4, 18, n)], 1).astype(np.int32)
+    idx = rng.integers(0, b, n).astype(np.int32)
+    valid = rng.random(n) > 0.2
+
+    # window 20 < min(h, w) -> general path; window 32 >= h -> x-gather
+    general = crop_lines_to_squares(
+        images, jnp.asarray(rects), jnp.asarray(idx), jnp.asarray(valid),
+        out_size=48, window=20,
+    )
+    fast = crop_lines_to_squares(
+        images, jnp.asarray(rects), jnp.asarray(idx), jnp.asarray(valid),
+        out_size=48, window=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(general), atol=1e-5
+    )
+
+    # vertical: tall-narrow canvas -> y-gather vs general
+    bt, ht, wt = 2, 128, 24
+    imgs_v = jnp.asarray(rng.uniform(0, 1, (bt, ht, wt, 3)).astype(np.float32))
+    yv = rng.integers(0, ht - 30, n).astype(np.int32)
+    xv = rng.integers(0, wt - 16, n).astype(np.int32)
+    rects_v = np.stack(
+        [xv, yv, xv + rng.integers(4, 16, n),
+         yv + rng.integers(4, 16, n)], 1).astype(np.int32)
+    idx_v = rng.integers(0, bt, n).astype(np.int32)
+    general_v = crop_lines_to_squares(
+        imgs_v, jnp.asarray(rects_v), jnp.asarray(idx_v),
+        jnp.ones((n,), bool), out_size=48, window=16,
+    )
+    fast_v = crop_lines_to_squares(
+        imgs_v, jnp.asarray(rects_v), jnp.asarray(idx_v),
+        jnp.ones((n,), bool), out_size=48, window=24,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_v), np.asarray(general_v), atol=1e-5
+    )
