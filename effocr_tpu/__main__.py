@@ -17,6 +17,7 @@ def main():
         "train_recognizer": "effocr_tpu.cli.train_recognizer",
         "train_localizer": "effocr_tpu.cli.train_localizer",
         "train_seq2seq": "effocr_tpu.cli.train_seq2seq",
+        "build_index": "effocr_tpu.cli.build_index",
         "export": "effocr_tpu.cli.export",
         "infer": "effocr_tpu.cli.infer",
         "viz": "effocr_tpu.cli.viz",

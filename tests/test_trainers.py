@@ -308,3 +308,50 @@ def test_localizer_resident_bank(tmp_path):
     )
     loss_bank, _ = tr_b.train_step_bank(ds, [0, 1])
     assert abs(loss_stream - loss_bank) < 1e-4, (loss_stream, loss_bank)
+
+def test_build_index_cli(char_tree, tmp_path, monkeypatch):
+    """`build-index` rebuilds ref.npz/ref.txt from a run dir's enc_best +
+    args_log.json without re-running fit (mid-flight harvest path)."""
+    import json
+    import sys
+
+    from effocr_tpu.cli import build_index as bi
+
+    ds = CharFolderDataset(char_tree)
+    idx_train, idx_val, _ = split_indices(ds, ["line0"], ["line1"], ["line1"])
+    cfg = RecognizerTrainConfig(
+        encoder=EncoderConfig(arch="convnext_atto", image_size=64),
+        batch_size=6, m_per_class=2, num_epochs=1, lr=1e-3, lang="en",
+        ref_source="centroid", centroid_cap=4,
+    )
+    model = create_encoder("convnext_atto", dtype=jnp.float32)
+    run_dir = tmp_path / "run_bi"
+    trainer = RecognizerTrainer(cfg, model, str(run_dir))
+    trainer.init_state(jax.random.PRNGKey(0))
+    trainer.fit(ds, idx_train, idx_val, ds.render_indices())
+
+    # the ann jsons + args_log.json the CLI trainer would have written
+    def ann(stem):
+        p = tmp_path / f"{stem}.json"
+        p.write_text(json.dumps(
+            {"images": [{"id": 0, "file_name": f"{stem.split('_')[-1]}.png"}],
+             "annotations": [], "categories": []}))
+        return str(p)
+
+    (run_dir / "args_log.json").write_text(json.dumps({
+        "root_dir_path": char_tree, "auto_model": "convnext_atto",
+        "imsize": 64, "batch_size": 6, "temp": 0.1, "m": 2, "lang": "en",
+        "ref_source": "centroid", "centroid_cap": 4, "N_classes": None,
+        "train_ann_path": ann("t_line0"), "val_ann_path": ann("v_line1"),
+        "test_ann_path": ann("s_line1"), "render_font_name": "TestFont",
+    }))
+    for f in ("ref.npz", "ref.txt"):
+        (run_dir / f).unlink(missing_ok=True)
+
+    monkeypatch.setattr(sys, "argv",
+                        ["build-index", "--run_dir", str(run_dir), "--test"])
+    bi.main()
+    assert (run_dir / "ref.npz").exists() and (run_dir / "ref.txt").exists()
+    from effocr_tpu.retrieval.index import PrototypeIndex
+    idx = PrototypeIndex.load(str(run_dir))
+    assert sorted(idx.chars) == sorted(CHARS)
