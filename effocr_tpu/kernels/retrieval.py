@@ -112,15 +112,13 @@ def knn_topk_sharded(
         gs, gj = jax.lax.top_k(flat_s, k)
         return gs, jnp.take_along_axis(flat_i, gj, axis=1)
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         local_topk, mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis)),
         out_specs=(P(), P()),
         # outputs are replicated by construction (all_gather + identical
-        # re-top-k on every device); the static rep-checker can't see
-        # through take_along_axis, so assert it ourselves
-        check_rep=False,
+        # re-top-k on every device); the static varying-axis checker can't
+        # see through take_along_axis, so assert it ourselves
+        check_vma=False,
     )
     return fn(q, prototypes, row_mask)
