@@ -45,6 +45,42 @@ class Seq2SeqDataset:
         ids, mask = self.tok.encode(text, self.max_len)
         return x, ids, mask, text
 
+    def materialize(self
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode the whole dataset once -> (images uint8 [N, H, W, 3],
+        token ids int32 [N, max_len], masks bool [N, max_len]).
+
+        Feed through jax.device_put for an HBM-resident bank
+        (--data_device resident): training then ships int32 indices only,
+        sidestepping the axon per-transfer host-RSS leak."""
+        xs, ids, masks = [], [], []
+        for i in range(len(self)):
+            x, t_ids, t_mask, _ = self.load(i)
+            xs.append(x)
+            ids.append(t_ids)
+            masks.append(t_mask)
+        return np.stack(xs), np.stack(ids), np.stack(masks)
+
+    def index_batches(self, batch_size: int, shuffle: bool = True,
+                      seed: int = 0, drop_last: bool = True
+                      ) -> Iterator[Tuple[np.ndarray, List[str]]]:
+        """Index-only twin of batches() for resident-bank training:
+        yields (int32 indices padded to batch_size by repeating index 0,
+        the real rows' texts)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for s in range(0, len(order), batch_size):
+            idx = order[s : s + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            texts = [self.entries[int(i)][1] for i in idx]
+            if len(idx) < batch_size:
+                idx = np.concatenate(
+                    [idx, np.zeros((batch_size - len(idx),), order.dtype)]
+                )
+            yield idx.astype(np.int32), texts
+
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 drop_last: bool = True
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray,

@@ -197,11 +197,18 @@ class _EncBlock(nn.Module):
                        self.param_dtype)(h)
 
 
-def make_seq2seq_train_step(model: Seq2SeqOCR, tx):
+def make_seq2seq_train_step(model: Seq2SeqOCR, tx, bank_mode: bool = False):
     """CE teacher-forcing step (the HF Trainer equivalent in
-    trocr/train_trocr.py)."""
+    trocr/train_trocr.py).
 
-    def step(state, images, token_ids, token_mask):
+    bank_mode: the dataset lives in HBM (uint8 image bank + token banks)
+    and each step receives int32 indices only — the same resident-bank
+    pattern as the recognizer/localizer trainers (the axon transport
+    retains every host→device transfer buffer, so streaming full image
+    batches leaks host RSS per step)."""
+    import optax
+
+    def update(state, images, token_ids, token_mask):
         def loss_fn(params):
             logits = model.apply({"params": params}, images,
                                  token_ids[:, :-1])
@@ -213,15 +220,24 @@ def make_seq2seq_train_step(model: Seq2SeqOCR, tx):
             )[..., 0]
             return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
 
-        import optax
-
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
         updates, new_opt = tx.update(grads, state["opt_state"],
                                      state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         return {"params": new_params, "opt_state": new_opt}, loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    if bank_mode:
+        def step_bank(state, bank_imgs, bank_ids, bank_masks, idx):
+            return update(
+                state,
+                jnp.take(bank_imgs, idx, axis=0),
+                jnp.take(bank_ids, idx, axis=0),
+                jnp.take(bank_masks, idx, axis=0),
+            )
+
+        return jax.jit(step_bank, donate_argnums=(0,))
+
+    return jax.jit(update, donate_argnums=(0,))
 
 
 @partial(jax.jit, static_argnames=("model", "max_len", "beam_size"))

@@ -41,6 +41,12 @@ def main():
     p.add_argument("--num_beams", type=int, default=1,
                    help="beam width for eval decode (reference default 4, "
                         "trocr/train_trocr.py:149-156); 1 = greedy")
+    p.add_argument("--data_device", choices=["stream", "resident"],
+                   default="stream",
+                   help="resident: decode the corpus once into an "
+                        "HBM-resident uint8 bank and ship int32 indices "
+                        "per step (avoids the axon per-transfer host-RSS "
+                        "leak on long runs)")
     args = p.parse_args()
 
     os.makedirs(args.run_name, exist_ok=True)
@@ -62,31 +68,59 @@ def main():
                         jnp.zeros((1, args.max_len - 1), jnp.int32))["params"]
     tx = optax.adamw(args.lr)
     state = {"params": params, "opt_state": tx.init(params)}
-    step = make_seq2seq_train_step(model, tx)
+    resident = args.data_device == "resident"
+    step = make_seq2seq_train_step(model, tx, bank_mode=resident)
     metrics = MetricsWriter(args.run_name)
+
+    if resident:
+        bank = tuple(jax.device_put(a) for a in train_ds.materialize())
+        val_bank = jax.device_put(val_ds.materialize()[0])
+        gather = jax.jit(lambda b, i: jnp.take(b, i, axis=0))
 
     best_cer = float("inf")
     it = 0
     for epoch in range(args.num_epochs):
-        for xs, ids, masks, _ in train_ds.batches(args.batch_size,
-                                                  seed=epoch):
-            state, loss = step(state, jnp.asarray(xs), jnp.asarray(ids),
-                               jnp.asarray(masks))
+        if resident:
+            batch_iter = (
+                (bank[0], bank[1], bank[2], jnp.asarray(idx))
+                for idx, _ in train_ds.index_batches(args.batch_size,
+                                                     seed=epoch)
+            )
+        else:
+            batch_iter = (
+                (jnp.asarray(xs), jnp.asarray(ids), jnp.asarray(masks))
+                for xs, ids, masks, _ in train_ds.batches(args.batch_size,
+                                                          seed=epoch)
+            )
+        for batch in batch_iter:
+            state, loss = step(state, *batch)
             if it % 50 == 0:
                 metrics.log({"train/loss": float(loss)}, step=it)
                 print(f"epoch {epoch} it {it}: loss={float(loss):.4f}")
             it += 1
 
         pairs = []
-        for xs, _, _, texts in val_ds.batches(args.batch_size,
-                                              shuffle=False,
-                                              drop_last=False):
+        if resident:
+            eval_iter = (
+                (gather(val_bank, jnp.asarray(idx)), texts)
+                for idx, texts in val_ds.index_batches(args.batch_size,
+                                                       shuffle=False,
+                                                       drop_last=False)
+            )
+        else:
+            eval_iter = (
+                (jnp.asarray(xs), texts)
+                for xs, _, _, texts in val_ds.batches(args.batch_size,
+                                                      shuffle=False,
+                                                      drop_last=False)
+            )
+        for xs, texts in eval_iter:
             if args.num_beams > 1:
-                out = beam_decode(model, state["params"], jnp.asarray(xs),
+                out = beam_decode(model, state["params"], xs,
                                   max_len=args.max_len,
                                   beam_size=args.num_beams)
             else:
-                out = greedy_decode(model, state["params"], jnp.asarray(xs),
+                out = greedy_decode(model, state["params"], xs,
                                     max_len=args.max_len)
             for row, gt in zip(np.asarray(out), texts):
                 pairs.append((gt, tok.decode(row)))
