@@ -186,9 +186,11 @@ def main():
     p.add_argument("--crop_batch", type=int, default=512)
     p.add_argument("--adaptive_height", action="store_true", default=False,
                    help="per-chunk stride-32 canvas height tier")
-    p.add_argument("--transfer_bits", type=int, default=8, choices=[4, 8],
+    p.add_argument("--transfer_bits", type=int, default=8,
+                   choices=[2, 4, 8],
                    help="4 = nibble-packed host->device upload (fused "
-                        "canvas path); halves link bytes")
+                        "canvas path), halves link bytes; 2 = four "
+                        "pixels/byte (4 gray levels), quarters them")
     p.add_argument("--retrieval_kernel", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="pallas = tiled top-1 kernel for very large "

@@ -162,6 +162,27 @@ def letterbox_device(
     return out + (1.0 - mass)[..., None] * pad_val
 
 
+# 4x4 Bayer ordered-dither thresholds for 2-bit transfer quantization:
+# position-dependent offsets spanning one quantization step (64 gray
+# levels), so antialiased glyph edges keep their average intensity
+# instead of snapping to the nearest of 4 levels (which shifts apparent
+# edges and costs detector box accuracy).  Same matrix in the native
+# packer (native/preproc.cpp) — outputs are bit-identical.
+_BAYER4 = np.array(
+    [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+    np.int16,
+)
+_BAYER4_OFFSETS = (((_BAYER4 + 0.5) / 16.0 - 0.5) * 64.0).round().astype(
+    np.int16
+)
+
+
+def dither_offsets(h: int, w: int) -> np.ndarray:
+    """[h, w] int16 ordered-dither offsets (add, clip, then quantize)."""
+    reps = (-(-h // 4), -(-w // 4))
+    return np.tile(_BAYER4_OFFSETS, reps)[:h, :w]
+
+
 # ---------------------------------------------------------------------------
 # MedianPad square + resize + normalize (the "paired transform")
 # ---------------------------------------------------------------------------

@@ -119,21 +119,22 @@ def letterbox_gray_batch(
     images: Sequence[np.ndarray], size: int = 640, pad_val: int = 114,
     num_threads: int = 8, out_h: Optional[int] = None, pack_bits: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Fused letterbox + grayscale (+ optional 4-bit pack) for the
+    """Fused letterbox + grayscale (+ optional sub-byte pack) for the
     grayscale inference pipeline.  Accepts RGB (channel-mean gray, numpy
     truncating semantics) or single-channel images.
 
-    -> (out [N, out_h, size(/2 if pack_bits==4)] u8, ratios, tops, lefts).
+    -> (out [N, out_h, size * pack_bits / 8] u8, ratios, tops, lefts):
+    pack_bits 4 = two pixels/byte (hi nibble first), 2 = four pixels/byte
+    MSB-first.
     """
     lib = _load()
     assert lib is not None, "native preproc unavailable"
-    assert pack_bits in (4, 8)
+    assert pack_bits in (2, 4, 8)
     n = len(images)
     oh = out_h or size
     channels = images[0].shape[2]
-    ow = size // 2 if pack_bits == 4 else size
-    if pack_bits == 4:
-        assert size % 2 == 0
+    ow = size * pack_bits // 8
+    assert size % (8 // pack_bits) == 0, (size, pack_bits)
     out = np.empty((n, oh, ow), np.uint8)
     ratios = np.empty((n,), np.float32)
     tops = np.empty((n,), np.int32)

@@ -123,12 +123,15 @@ void letterbox_batch(const uint8_t** imgs, const int* hs, const int* ws,
 // pack_bits 8 -> out [n, out_h, out_w] gray; pack_bits 4 ->
 // out [n, out_h, out_w/2], two pixels per byte, even pixel in the high
 // nibble: (p0 & 0xF0) | (p1 >> 4) — bit-identical to the numpy pack.
+// pack_bits 2 -> out [n, out_h, out_w/4], four pixels per byte,
+// MSB-first: (p0 & 0xC0) | ((p1 >> 2) & 0x30) | ((p2 >> 4) & 0x0C) |
+// (p3 >> 6).
 void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
                           int n, int out_h, int out_w, int in_channels,
                           int pack_bits, uint8_t pad_val, int num_threads,
                           uint8_t* out, float* ratios, int* tops,
                           int* lefts) {
-  const int packed_w = pack_bits == 4 ? out_w / 2 : out_w;
+  const int packed_w = out_w * pack_bits / 8;
   const size_t plane = static_cast<size_t>(out_h) * packed_w;
   parallel_for(n, num_threads, [&](int i) {
     const int h = hs[i], w = ws[i];
@@ -172,6 +175,24 @@ void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
       const uint8_t* src = line.data();
       for (size_t j = 0; j < plane; ++j, src += 2) {
         dst[j] = static_cast<uint8_t>((src[0] & 0xF0) | (src[1] >> 4));
+      }
+    } else if (pack_bits == 2) {
+      // 4x4 Bayer ordered dither before 2-bit quantization; offsets are
+      // 4*M - 30, matching kernels/image_ops.py dither_offsets exactly.
+      static const int kBayer[4][4] = {
+          {0, 8, 2, 10}, {12, 4, 14, 6}, {3, 11, 1, 9}, {15, 7, 13, 5}};
+      const uint8_t* src = line.data();
+      for (size_t j = 0; j < plane; ++j, src += 4) {
+        const int y = static_cast<int>(j / packed_w) & 3;
+        const int x0 = static_cast<int>(j % packed_w) * 4;
+        uint8_t q[4];
+        for (int t = 0; t < 4; ++t) {
+          const int off = 4 * kBayer[y][(x0 + t) & 3] - 30;
+          const int v = std::max(0, std::min(255, src[t] + off));
+          q[t] = static_cast<uint8_t>(v);
+        }
+        dst[j] = static_cast<uint8_t>((q[0] & 0xC0) | ((q[1] >> 2) & 0x30) |
+                                      ((q[2] >> 4) & 0x0C) | (q[3] >> 6));
       }
     } else {
       std::memcpy(dst, line.data(), plane);

@@ -32,6 +32,7 @@ import numpy as np
 from effocr_tpu.core.batching import pad_to_multiple
 from effocr_tpu.core.config import PipelineConfig
 from effocr_tpu.kernels.image_ops import (
+    dither_offsets,
     letterbox_device,
     letterbox_host,
     letterbox_params,
@@ -241,17 +242,39 @@ class EffOCRInference:
                 )
             nn_idx, _ = _classify(emb, protos, row_mask)
 
-            # per-line word boxes, reading-order sorted (en)
-            word_mask = valid & (classes == 1)
-            word_key = jnp.where(word_mask, center, jnp.inf)
-            worder = jnp.argsort(word_key, axis=1)[:, : c.max_words_per_line]
-            word_boxes = jnp.take_along_axis(
-                boxes, worder[:, :, None], axis=1
-            )
-            word_valid = jnp.take_along_axis(word_key, worder, axis=1) < jnp.inf
-
-            return (n_chars, flat_boxes, flat_valid, nn_idx[:, 0],
-                    word_boxes, word_valid)
+            # Pack every output into ONE int32 vector (floats ride as
+            # bitcast i32, exact): each device_get is a full round trip
+            # on the high-latency relay (~25 ms measured per array), so
+            # six separate outputs cost far more in latency than their
+            # bytes.  _finish_fused slices the buffer back apart.
+            parts = [
+                n_chars.astype(jnp.int32),
+                nn_idx[:, 0].astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    flat_boxes, jnp.int32
+                ).reshape(-1),
+            ]
+            if c.lang == "en":
+                # per-line word boxes, reading-order sorted (en only —
+                # jp has no word grouping, so don't compute or ship them)
+                word_mask = valid & (classes == 1)
+                word_key = jnp.where(word_mask, center, jnp.inf)
+                worder = jnp.argsort(
+                    word_key, axis=1
+                )[:, : c.max_words_per_line]
+                word_boxes = jnp.take_along_axis(
+                    boxes, worder[:, :, None], axis=1
+                )
+                word_valid = (
+                    jnp.take_along_axis(word_key, worder, axis=1) < jnp.inf
+                )
+                parts.append(
+                    jax.lax.bitcast_convert_type(
+                        word_boxes, jnp.int32
+                    ).reshape(-1)
+                )
+                parts.append(word_valid.reshape(-1).astype(jnp.int32))
+            return jnp.concatenate(parts)
 
         @jax.jit
         def _ocr_chunk(images_u8, content_meta, protos, row_mask):
@@ -260,14 +283,27 @@ class EffOCRInference:
 
         @jax.jit
         def _ocr_chunk_packed(packed_u8, content_meta, protos, row_mask):
-            """4-bit transfer variant: packed [B, H, W/2, C] holds two
-            width-adjacent pixels per byte (hi nibble = even px, lo = odd);
-            unpack by nibble replication (v * 17 maps 0..15 -> 0..255)."""
-            hi = (packed_u8 >> 4).astype(jnp.uint8)
-            lo = (packed_u8 & 0x0F).astype(jnp.uint8)
-            pix = jnp.stack([hi * 17, lo * 17], axis=3)  # [B,H,W/2,2,C]
-            b, h, w2 = packed_u8.shape[:3]
-            imgs = pix.reshape(b, h, w2 * 2, packed_u8.shape[-1])
+            """Sub-byte transfer variant.  transfer_bits == 4: packed
+            [B, H, W/2, C] holds two width-adjacent pixels per byte (hi
+            nibble = even px); unpack by nibble replication (v * 17 maps
+            0..15 -> 0..255).  transfer_bits == 2: [B, H, W/4, C] holds
+            four pixels per byte MSB-first; v * 85 maps 0..3 -> 0..255
+            (printed lines are near-binary, so 4 gray levels decode
+            identically — tests/test_pipeline_e2e.py)."""
+            b, h, wp = packed_u8.shape[:3]
+            if c.transfer_bits == 4:
+                hi = (packed_u8 >> 4).astype(jnp.uint8)
+                lo = (packed_u8 & 0x0F).astype(jnp.uint8)
+                pix = jnp.stack([hi * 17, lo * 17], axis=3)  # [B,H,W/2,2,C]
+                imgs = pix.reshape(b, h, wp * 2, packed_u8.shape[-1])
+            else:
+                assert c.transfer_bits == 2, c.transfer_bits
+                quads = [
+                    ((packed_u8 >> s) & 0x3).astype(jnp.uint8) * 85
+                    for s in (6, 4, 2, 0)
+                ]
+                pix = jnp.stack(quads, axis=3)  # [B,H,W/4,4,C]
+                imgs = pix.reshape(b, h, wp * 4, packed_u8.shape[-1])
             return _ocr_from_canvas(
                 imgs.astype(jnp.float32) / 255.0, content_meta, protos,
                 row_mask,
@@ -471,6 +507,22 @@ class EffOCRInference:
                     jnp.asarray(packed), jnp.asarray(meta_arr), protos,
                     row_mask,
                 )
+            elif c.transfer_bits == 2:
+                assert size_w % 4 == 0
+                d = dither_offsets(lb_imgs.shape[1], size_w)
+                lb = np.clip(
+                    lb_imgs.astype(np.int16) + d[:, :, None], 0, 255
+                ).astype(np.uint8)
+                packed = (
+                    (lb[:, :, 0::4] & 0xC0)
+                    | ((lb[:, :, 1::4] >> 2) & 0x30)
+                    | ((lb[:, :, 2::4] >> 4) & 0x0C)
+                    | (lb[:, :, 3::4] >> 6)
+                )
+                fused_out = self._ocr_chunk_packed(
+                    jnp.asarray(packed), jnp.asarray(meta_arr), protos,
+                    row_mask,
+                )
             else:
                 fused_out = self._ocr_chunk(
                     jnp.asarray(lb_imgs), jnp.asarray(meta_arr), protos,
@@ -493,10 +545,11 @@ class EffOCRInference:
         from effocr_tpu import native
 
         n = len(chunk)
-        bits = 4 if c.transfer_bits == 4 else 8
-        w_out = size_w // 2 if bits == 4 else size_w
-        # padding byte for unused batch rows: 114 gray, packed 114|114
-        pad_byte = 0x77 if bits == 4 else 114
+        bits = c.transfer_bits if c.transfer_bits in (2, 4) else 8
+        w_out = size_w * bits // 8
+        # padding byte for unused batch rows: 114 gray packed at each
+        # width (4-bit: 114|114 = 0x77; 2-bit: (114>>6) x4 = 0x55)
+        pad_byte = {2: 0x55, 4: 0x77, 8: 114}[bits]
         buf = np.full((c.line_batch, size_h, w_out, 1), pad_byte, np.uint8)
         out, ratios, tops, lefts = native.letterbox_gray_batch(
             [np.ascontiguousarray(im) for im in chunk], size_w,
@@ -520,7 +573,7 @@ class EffOCRInference:
         else:
             protos = self.index.device_embeddings
             row_mask = self.index.device_mask
-        fn = self._ocr_chunk_packed if bits == 4 else self._ocr_chunk
+        fn = self._ocr_chunk_packed if bits in (2, 4) else self._ocr_chunk
         fused_out = fn(jnp.asarray(buf), jnp.asarray(meta_arr), protos,
                        row_mask)
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
@@ -731,15 +784,33 @@ class EffOCRInference:
         metas = handle["metas"]
         chunk_keys = handle["chunk_keys"]
         n = len(handle["chunk"])
-        (n_chars, flat_boxes, flat_valid, nn_idx, word_boxes,
-         word_valid) = jax.device_get(handle["fused_out"])
+        # single packed int32 buffer (see _ocr_from_canvas): one
+        # device_get = one relay round trip instead of six
+        buf = np.asarray(jax.device_get(handle["fused_out"]))
+        nb, cap = c.line_batch, c.crop_batch
+        o = 0
+        n_chars = buf[o : o + nb].copy()
+        o += nb
+        nn_idx = buf[o : o + cap]
+        o += cap
+        flat_boxes = buf[o : o + 4 * cap].view(np.float32).reshape(cap, 4)
+        o += 4 * cap
+        if c.lang == "en":
+            # the device-side [:, :max_words_per_line] slice caps at the
+            # NMS max_det column count
+            w = min(c.max_words_per_line, c.localizer.max_det)
+            word_boxes = (
+                buf[o : o + nb * w * 4].view(np.float32).reshape(nb, w, 4)
+            )
+            o += nb * w * 4
+            word_valid = buf[o : o + nb * w].astype(bool).reshape(nb, w)
+            o += nb * w
+        assert o == buf.shape[0], (o, buf.shape)
 
         # Crop slots hold a reading-order (line-major) prefix of the chunk's
         # chars, so when a chunk overflows crop_batch, some suffix of lines
         # is undecoded.  Spill those lines into a fresh dispatch instead of
         # silently truncating them.
-        n_chars = np.array(n_chars)
-        cap = flat_valid.shape[0]
         csum = np.cumsum(n_chars[:n])
         leftover = None
         if n and csum[-1] > cap:

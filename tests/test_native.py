@@ -83,6 +83,23 @@ def test_letterbox_gray_batch_matches_numpy_path(rng):
     )
     np.testing.assert_array_equal(out4, packed_ref[..., 0])
 
+    from effocr_tpu.kernels.image_ops import dither_offsets
+
+    d = dither_offsets(64, 640)
+    ref2 = np.clip(
+        ref.astype(np.int16) + d[None, :, :, None], 0, 255
+    ).astype(np.uint8)
+    packed2_ref = (
+        (ref2[:, :, 0::4] & 0xC0)
+        | ((ref2[:, :, 1::4] >> 2) & 0x30)
+        | ((ref2[:, :, 2::4] >> 4) & 0x0C)
+        | (ref2[:, :, 3::4] >> 6)
+    )
+    out2, _, _, _ = native.letterbox_gray_batch(
+        imgs, 640, out_h=64, pack_bits=2
+    )
+    np.testing.assert_array_equal(out2, packed2_ref[..., 0])
+
     # single-channel input accepted directly
     out1, _, _, _ = native.letterbox_gray_batch(
         [np.ascontiguousarray(g) for g in gray], 640, out_h=64, pack_bits=8

@@ -173,8 +173,9 @@ def test_pipeline_reads_synthetic_lines(engine_parts, crop_source):
 
 
 def test_pipeline_4bit_transfer_matches(engine_parts):
-    """transfer_bits=4 (nibble-packed upload + on-device unpack) decodes the
-    same text as the raw uint8 path on near-binary printed lines."""
+    """transfer_bits=4/2 (sub-byte packed upload + on-device unpack)
+    decode the same text as the raw uint8 path on near-binary printed
+    lines."""
     encoder, enc_vars, index = engine_parts
     texts = ["AbX oT", "kXo bA"]
     lines = [make_line(t) for t in texts]
@@ -190,7 +191,7 @@ def test_pipeline_4bit_transfer_matches(engine_parts):
     decoded = make_decoded_predictions(
         lb_char_boxes, lb_word_boxes, [None] * len(lines)
     )
-    for bits in (8, 4):
+    for bits in (8, 4, 2):
         cfg = PipelineConfig(
             lang="en",
             localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
