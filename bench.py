@@ -105,7 +105,7 @@ def main():
         crop_window=96,
         input_channels=channels,
         transfer="canvas",
-        prefetch_chunks=2,
+        prefetch_chunks=int(os.environ.get("BENCH_PREFETCH", "3")),
     )
     engine = EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
                              index)
