@@ -66,7 +66,13 @@ class Seq2SeqDataset:
                       ) -> Iterator[Tuple[np.ndarray, List[str]]]:
         """Index-only twin of batches() for resident-bank training:
         yields (int32 indices padded to batch_size by repeating index 0,
-        the real rows' texts)."""
+        the real rows' texts).
+
+        CAUTION: unlike batches(), whose tail padding is zero-masked
+        dummies (zero loss), the padded indices here reference REAL row 0
+        — fine for eval (callers truncate to len(texts)), but a
+        drop_last=False TRAINING loop over these batches would oversample
+        row 0.  Keep drop_last=True for training (the default)."""
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)

@@ -4,7 +4,8 @@ The reference rebuilds its FAISS index inline at the end of training
 (train_effocr_recognizer.py:47-62 save_ref_index) and ad-hoc at inference
 time (infer_effocr_onnx_multi.py:117-131).  This command covers the third
 case neither supports: harvesting a *mid-flight* run — best-val
-checkpointing writes enc_best continuously, so any epoch is a valid
+checkpointing writes enc_best continuously (atomically: train/checkpoint
+save_variables uses temp-file + os.replace), so any epoch is a valid
 stopping point, and this rebuilds ref.npz/ref.txt (+ optional test
 precision@1) from the run directory's own args_log.json without waiting
 for the schedule to finish.
@@ -20,18 +21,16 @@ import json
 import os
 
 import jax
-import numpy as np
 
+from effocr_tpu.cli.common import (
+    ann_stems,
+    build_and_eval_index,
+    default_render_indices,
+)
 from effocr_tpu.core.config import EncoderConfig, RecognizerTrainConfig
-from effocr_tpu.data.coco import load_json
 from effocr_tpu.data.folder import CharFolderDataset, split_indices
 from effocr_tpu.models import create_encoder
 from effocr_tpu.train.recognizer import RecognizerTrainer
-
-
-def _stems(path):
-    return [os.path.splitext(x["file_name"])[0]
-            for x in load_json(path)["images"]]
 
 
 def main():
@@ -62,16 +61,13 @@ def main():
     )
     dataset = CharFolderDataset(args.root_dir_path or a["root_dir_path"])
     idx_train, _, idx_test = split_indices(
-        dataset, _stems(a["train_ann_path"]), _stems(a["val_ann_path"]),
-        _stems(a["test_ann_path"]), finetune=cfg.finetune,
-        pretrain=cfg.pretrain,
+        dataset, ann_stems(a["train_ann_path"]),
+        ann_stems(a["val_ann_path"]), ann_stems(a["test_ann_path"]),
+        finetune=cfg.finetune, pretrain=cfg.pretrain,
     )
-    font_name = a.get("render_font_name") or (
-        "NotoSerifCJKjp-Regular" if a["lang"] == "jp" else "NotoSerif-Regular"
+    render_ref_idx = default_render_indices(
+        dataset, a["lang"], a.get("render_font_name")
     )
-    render_ref_idx = dataset.render_indices(font_name)
-    if not render_ref_idx:
-        render_ref_idx = dataset.render_indices()
 
     trainer = RecognizerTrainer(
         cfg, create_encoder(a["auto_model"]), args.run_dir,
@@ -80,25 +76,13 @@ def main():
     trainer.init_state(jax.random.PRNGKey(cfg.seed))
     trainer.load_best()
 
-    index = trainer.build_ref_index(
-        dataset, render_ref_idx,
-        centroid_idx=idx_train if cfg.ref_source == "centroid" else None,
+    index, acc = build_and_eval_index(
+        trainer, dataset, render_ref_idx, cfg, idx_train,
+        idx_test=idx_test, run_test=args.test,
     )
     print(f"ref index: {index.embeddings.shape[0]} rows "
           f"-> {os.path.join(args.run_dir, 'ref.npz')}")
-
-    if args.test:
-        if cfg.ref_source == "centroid":
-            acc = trainer.eval_knn(
-                dataset, idx_test, [],
-                ref_emb=index.embeddings,
-                ref_lab=np.asarray([
-                    dataset.class_to_idx[str(ord(ch))]
-                    for ch in index.chars
-                ]),
-            )
-        else:
-            acc = trainer.eval_knn(dataset, idx_test, render_ref_idx)
+    if acc is not None:
         print(f"Test precision@1: {acc}")
 
 

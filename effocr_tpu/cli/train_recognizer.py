@@ -12,11 +12,9 @@ import json
 import os
 
 import jax
-import numpy as np
 
 from effocr_tpu.core.config import EncoderConfig, RecognizerTrainConfig
 from effocr_tpu.core.mesh import make_mesh
-from effocr_tpu.data.coco import load_json
 from effocr_tpu.data.folder import CharFolderDataset, split_indices
 from effocr_tpu.models import create_classifier, create_encoder
 from effocr_tpu.train.recognizer import RecognizerTrainer
@@ -124,21 +122,20 @@ def main():
 
     dataset = CharFolderDataset(args.root_dir_path)
 
-    def stems(path):
-        return [os.path.splitext(x["file_name"])[0]
-                for x in load_json(path)["images"]]
+    from effocr_tpu.cli.common import (
+        ann_stems,
+        build_and_eval_index,
+        default_render_indices,
+    )
 
     idx_train, idx_val, idx_test = split_indices(
-        dataset, stems(args.train_ann_path), stems(args.val_ann_path),
-        stems(args.test_ann_path), finetune=args.finetune,
-        pretrain=args.pretrain,
+        dataset, ann_stems(args.train_ann_path),
+        ann_stems(args.val_ann_path), ann_stems(args.test_ann_path),
+        finetune=args.finetune, pretrain=args.pretrain,
     )
-    font_name = args.render_font_name or (
-        "NotoSerifCJKjp-Regular" if args.lang == "jp" else "NotoSerif-Regular"
+    render_ref_idx = default_render_indices(
+        dataset, args.lang, args.render_font_name
     )
-    render_ref_idx = dataset.render_indices(font_name)
-    if not render_ref_idx:
-        render_ref_idx = dataset.render_indices()
 
     if classifier_mode:
         idx_to_class = {
@@ -172,22 +169,11 @@ def main():
 
     trainer.load_best()
     if not classifier_mode:
-        index = trainer.build_ref_index(
-            dataset, render_ref_idx,
-            centroid_idx=idx_train if cfg.ref_source == "centroid" else None,
+        index, acc = build_and_eval_index(
+            trainer, dataset, render_ref_idx, cfg, idx_train,
+            idx_test=idx_test, run_test=args.test_at_end,
         )
-        if args.test_at_end:
-            if cfg.ref_source == "centroid":
-                acc = trainer.eval_knn(
-                    dataset, idx_test, [],
-                    ref_emb=index.embeddings,
-                    ref_lab=np.asarray([
-                        dataset.class_to_idx[str(ord(ch))]
-                        for ch in index.chars
-                    ]),
-                )
-            else:
-                acc = trainer.eval_knn(dataset, idx_test, render_ref_idx)
+        if acc is not None:
             print(f"Final test acc: {acc}")
         if args.infer_hardneg_k:
             query_idx = [

@@ -97,10 +97,11 @@ class PipelineConfig:
     # 8 = raw uint8 canvas upload; 4 = two pixels packed per byte on the
     # host and unpacked on the VPU (nibble-replication v*17) — halves the
     # host->device bytes, the measured wall behind a remote chip; 2 = four
-    # pixels per byte MSB-first (v*85: 4 gray levels) — quarters them.
-    # Printed text is near-binary, so 16 (and usually 4) gray levels leave
-    # CER unchanged (verify on your corpus before enabling).  Fused canvas
-    # path only.
+    # pixels per byte MSB-first (Bayer-dithered, v*85: 4 gray levels) —
+    # quarters them.  16 gray levels measured CER-neutral on the trained
+    # corpora; 2-bit is a speed/accuracy TRADEOFF (~9-13% relative CER
+    # cost measured, BENCH_ACCURACY.md) — only for deployments that accept
+    # it.  Fused canvas path only.
     transfer_bits: int = 8
     bucket_hw: Tuple[int, int] = (64, 1024)
     # Adaptive canvas height: per line-chunk, shrink the letterbox canvas

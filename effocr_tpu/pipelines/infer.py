@@ -227,15 +227,16 @@ class EffOCRInference:
                 window=min(c.localizer.input_size, c.crop_window),
             )
             sub = c.encoder_sub_batch
-            if sub and c.crop_batch > sub:
-                assert c.crop_batch % sub == 0, (c.crop_batch, sub)
+            n_slots = crops.shape[0]  # min(crop_batch, B*max_det)
+            if sub and n_slots > sub:
+                assert n_slots % sub == 0, (n_slots, sub)
                 emb = jax.lax.map(
                     lambda x: self.encoder.apply(
                         self.encoder_vars, x, train=False
                     ),
-                    crops.reshape(c.crop_batch // sub, sub, *crops.shape[1:]),
+                    crops.reshape(n_slots // sub, sub, *crops.shape[1:]),
                 )
-                emb = emb.reshape(c.crop_batch, emb.shape[-1])
+                emb = emb.reshape(n_slots, emb.shape[-1])
             else:
                 emb = self.encoder.apply(
                     self.encoder_vars, crops, train=False
@@ -785,9 +786,13 @@ class EffOCRInference:
         chunk_keys = handle["chunk_keys"]
         n = len(handle["chunk"])
         # single packed int32 buffer (see _ocr_from_canvas): one
-        # device_get = one relay round trip instead of six
+        # device_get = one relay round trip instead of six.  Crop slots
+        # are argsort(flat_key)[:crop_batch] over line_batch*max_det
+        # candidate keys, so the device ships min(·) rows, not always
+        # crop_batch.
         buf = np.asarray(jax.device_get(handle["fused_out"]))
-        nb, cap = c.line_batch, c.crop_batch
+        nb = c.line_batch
+        cap = min(c.crop_batch, nb * c.localizer.max_det)
         o = 0
         n_chars = buf[o : o + nb].copy()
         o += nb

@@ -18,10 +18,16 @@ from flax import serialization
 
 
 def save_variables(variables: Any, path: str) -> None:
+    """Atomic write (temp file + os.replace): a concurrent reader — e.g.
+    `build-index` harvesting enc_best from a live run — must never see a
+    torn or interleaved checkpoint, which an in-place same-length
+    overwrite could silently produce."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     variables = jax.device_get(variables)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(variables))
+    os.replace(tmp, path)
 
 
 def load_variables(template: Any, path: str) -> Any:

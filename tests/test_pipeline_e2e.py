@@ -207,6 +207,42 @@ def test_pipeline_4bit_transfer_matches(engine_parts):
             assert results[i] == t, (bits, results[i], t)
 
 
+def test_pipeline_crop_batch_exceeds_candidates(engine_parts):
+    """crop_batch > line_batch*max_det: the device ships only
+    line_batch*max_det crop slots (argsort over that many candidate keys),
+    and the host unpack must size its slices accordingly instead of
+    assuming crop_batch rows (regression: fixed-size packed-buffer
+    unpack crashed for this config class)."""
+    encoder, enc_vars, index = engine_parts
+    texts = ["AbX oT", "kXo bA"]
+    lines = [make_line(t) for t in texts]
+    imgs = [l[0] for l in lines]
+    lb_char_boxes = [
+        to_letterbox_space(l[1], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    lb_word_boxes = [
+        to_letterbox_space(l[2], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    decoded = make_decoded_predictions(
+        lb_char_boxes, lb_word_boxes, [None] * len(lines)
+    )
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                  max_det=64, max_nms=64),
+        encoder=EncoderConfig(arch="tiny"),
+        line_batch=2, crop_batch=512,  # > 2 * 64 candidate slots
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run(imgs)
+    for i, t in enumerate(texts):
+        assert results[i] == t, (results[i], t)
+
+
 def make_vertical_line(text, char_h=48):
     glyphs = [render_char(c, char_h) for c in text]
     width = max(g.width for g in glyphs) + 12
