@@ -163,24 +163,36 @@ def letterbox_device(
 
 
 # 4x4 Bayer ordered-dither thresholds for 2-bit transfer quantization:
-# position-dependent offsets spanning one quantization step (64 gray
-# levels), so antialiased glyph edges keep their average intensity
-# instead of snapping to the nearest of 4 levels (which shifts apparent
-# edges and costs detector box accuracy).  Same matrix in the native
-# packer (native/preproc.cpp) — outputs are bit-identical.
+# position-dependent offsets spanning one RECONSTRUCTION step (the
+# device unpacks level v to v*85, so the step is 85, not 256/4), so
+# antialiased glyph edges keep their average intensity instead of
+# snapping to the nearest of 4 levels (which shifts apparent edges and
+# costs detector box accuracy).  Quantization must likewise pick the
+# nearest reconstruction level — quantize_2bit below, thresholds
+# ~42/128/213 — or flat mid-grays bias dark by up to a half-step.
+# Same matrix + formula in the native packer (native/preproc.cpp);
+# outputs are bit-identical.
 _BAYER4 = np.array(
     [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
     np.int16,
 )
-_BAYER4_OFFSETS = (((_BAYER4 + 0.5) / 16.0 - 0.5) * 64.0).round().astype(
+_BAYER4_OFFSETS = (((_BAYER4 + 0.5) / 16.0 - 0.5) * 85.0).round().astype(
     np.int16
 )
 
 
 def dither_offsets(h: int, w: int) -> np.ndarray:
-    """[h, w] int16 ordered-dither offsets (add, clip, then quantize)."""
+    """[h, w] int16 ordered-dither offsets (add, then quantize_2bit)."""
     reps = (-(-h // 4), -(-w // 4))
     return np.tile(_BAYER4_OFFSETS, reps)[:h, :w]
+
+
+def quantize_2bit(img_u8: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """uint8 image + broadcastable dither offsets -> levels 0..3, each the
+    nearest device reconstruction value v*85 ((q*3 + 128) >> 8 thresholds
+    at ~42.7/128/213.3)."""
+    q = np.clip(img_u8.astype(np.int16) + d, 0, 255).astype(np.int32)
+    return ((q * 3 + 128) >> 8).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

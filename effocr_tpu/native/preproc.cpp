@@ -177,22 +177,33 @@ void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
         dst[j] = static_cast<uint8_t>((src[0] & 0xF0) | (src[1] >> 4));
       }
     } else if (pack_bits == 2) {
-      // 4x4 Bayer ordered dither before 2-bit quantization; offsets are
-      // 4*M - 30, matching kernels/image_ops.py dither_offsets exactly.
+      // 4x4 Bayer ordered dither + nearest-reconstruction-level 2-bit
+      // quantization (device unpacks level v to v*85, so offsets span 85
+      // and thresholds sit at ~42.7/128/213.3 via (q*3 + 128) >> 8) —
+      // matching kernels/image_ops.py dither_offsets/quantize_2bit
+      // bit-for-bit.  Offsets are round(((M+0.5)/16 - 0.5) * 85).
       static const int kBayer[4][4] = {
           {0, 8, 2, 10}, {12, 4, 14, 6}, {3, 11, 1, 9}, {15, 7, 13, 5}};
+      static int kOff[4][4];
+      static const bool init_off = [] {
+        for (int y = 0; y < 4; ++y)
+          for (int x = 0; x < 4; ++x)
+            kOff[y][x] = static_cast<int>(
+                std::lround(((kBayer[y][x] + 0.5) / 16.0 - 0.5) * 85.0));
+        return true;
+      }();
+      (void)init_off;
       const uint8_t* src = line.data();
       for (size_t j = 0; j < plane; ++j, src += 4) {
         const int y = static_cast<int>(j / packed_w) & 3;
         const int x0 = static_cast<int>(j % packed_w) * 4;
-        uint8_t q[4];
+        uint8_t lv[4];
         for (int t = 0; t < 4; ++t) {
-          const int off = 4 * kBayer[y][(x0 + t) & 3] - 30;
-          const int v = std::max(0, std::min(255, src[t] + off));
-          q[t] = static_cast<uint8_t>(v);
+          const int q = std::max(0, std::min(255, src[t] + kOff[y][(x0 + t) & 3]));
+          lv[t] = static_cast<uint8_t>((q * 3 + 128) >> 8);
         }
-        dst[j] = static_cast<uint8_t>((q[0] & 0xC0) | ((q[1] >> 2) & 0x30) |
-                                      ((q[2] >> 4) & 0x0C) | (q[3] >> 6));
+        dst[j] = static_cast<uint8_t>((lv[0] << 6) | (lv[1] << 4) |
+                                      (lv[2] << 2) | lv[3]);
       }
     } else {
       std::memcpy(dst, line.data(), plane);

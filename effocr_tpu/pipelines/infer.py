@@ -37,6 +37,7 @@ from effocr_tpu.kernels.image_ops import (
     letterbox_host,
     letterbox_params,
     paired_transform_host,
+    quantize_2bit,
 )
 from effocr_tpu.kernels.retrieval import knn_topk, l2_normalize
 from effocr_tpu.kernels.roi import crop_lines_to_squares
@@ -511,15 +512,13 @@ class EffOCRInference:
             elif c.transfer_bits == 2:
                 assert size_w % 4 == 0
                 d = dither_offsets(lb_imgs.shape[1], size_w)
-                lb = np.clip(
-                    lb_imgs.astype(np.int16) + d[:, :, None], 0, 255
-                ).astype(np.uint8)
+                lv = quantize_2bit(lb_imgs, d[:, :, None])
                 packed = (
-                    (lb[:, :, 0::4] & 0xC0)
-                    | ((lb[:, :, 1::4] >> 2) & 0x30)
-                    | ((lb[:, :, 2::4] >> 4) & 0x0C)
-                    | (lb[:, :, 3::4] >> 6)
-                )
+                    (lv[:, :, 0::4] << 6)
+                    | (lv[:, :, 1::4] << 4)
+                    | (lv[:, :, 2::4] << 2)
+                    | lv[:, :, 3::4]
+                ).astype(np.uint8)
                 fused_out = self._ocr_chunk_packed(
                     jnp.asarray(packed), jnp.asarray(meta_arr), protos,
                     row_mask,

@@ -230,3 +230,41 @@ def test_roi_single_axis_gather_matches_general(rng):
     np.testing.assert_allclose(
         np.asarray(fast_v), np.asarray(general_v), atol=1e-5
     )
+
+
+def test_dither_offsets_properties(rng):
+    """Bayer dither offsets: exact 4x4 tiling, zero mean, one
+    reconstruction-step span; dithered nearest-level quantization
+    preserves average intensity on flats in the device's v*85
+    reconstruction space."""
+    from effocr_tpu.kernels.image_ops import dither_offsets, quantize_2bit
+
+    d = dither_offsets(64, 640)
+    assert d.shape == (64, 640) and d.dtype == np.int16
+    # exact tiling of the 4x4 cell
+    np.testing.assert_array_equal(d[:4, :4], d[4:8, 8:12])
+    # offsets span one reconstruction step (85), zero-mean
+    assert d.min() == -40 and d.max() == 40
+    assert abs(float(d[:4, :4].mean())) < 0.2
+    # non-multiple-of-4 shapes crop the tile
+    d2 = dither_offsets(6, 10)
+    np.testing.assert_array_equal(d2, d[:6, :10])
+
+    # flat fields: reconstruction (level * 85) preserves the mean to a
+    # fraction of a step; undithered nearest-level quantization snaps the
+    # whole field to one level (error up to 42)
+    for gray in (114, 60, 150, 200):
+        img = np.full((64, 640), gray, np.uint8)
+        rec_dith = quantize_2bit(img, d).astype(np.float64) * 85
+        rec_flat = quantize_2bit(img, np.zeros_like(d)).astype(
+            np.float64
+        ) * 85
+        assert abs(rec_dith.mean() - gray) <= abs(rec_flat.mean() - gray), gray
+        assert abs(rec_dith.mean() - gray) < 12, (gray, rec_dith.mean())
+    # saturated black/white stay exact
+    for gray in (0, 255):
+        img = np.full((16, 16), gray, np.uint8)
+        rec = quantize_2bit(img, dither_offsets(16, 16)).astype(
+            np.float64
+        ) * 85
+        assert rec.min() == rec.max() == gray

@@ -83,18 +83,16 @@ def test_letterbox_gray_batch_matches_numpy_path(rng):
     )
     np.testing.assert_array_equal(out4, packed_ref[..., 0])
 
-    from effocr_tpu.kernels.image_ops import dither_offsets
+    from effocr_tpu.kernels.image_ops import dither_offsets, quantize_2bit
 
     d = dither_offsets(64, 640)
-    ref2 = np.clip(
-        ref.astype(np.int16) + d[None, :, :, None], 0, 255
-    ).astype(np.uint8)
+    lv = quantize_2bit(ref, d[None, :, :, None])
     packed2_ref = (
-        (ref2[:, :, 0::4] & 0xC0)
-        | ((ref2[:, :, 1::4] >> 2) & 0x30)
-        | ((ref2[:, :, 2::4] >> 4) & 0x0C)
-        | (ref2[:, :, 3::4] >> 6)
-    )
+        (lv[:, :, 0::4] << 6)
+        | (lv[:, :, 1::4] << 4)
+        | (lv[:, :, 2::4] << 2)
+        | lv[:, :, 3::4]
+    ).astype(np.uint8)
     out2, _, _, _ = native.letterbox_gray_batch(
         imgs, 640, out_h=64, pack_bits=2
     )
