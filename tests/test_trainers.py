@@ -355,3 +355,20 @@ def test_build_index_cli(char_tree, tmp_path, monkeypatch):
     from effocr_tpu.retrieval.index import PrototypeIndex
     idx = PrototypeIndex.load(str(run_dir))
     assert sorted(idx.chars) == sorted(CHARS)
+
+def test_checkpoint_atomic_write(tmp_path):
+    """save_variables goes through temp-file + os.replace: no .tmp left
+    behind, and an in-place rewrite fully replaces the old bytes (a
+    concurrent build-index harvest must never see a torn checkpoint)."""
+    import numpy as np
+
+    from effocr_tpu.train import checkpoint as ckpt
+
+    path = str(tmp_path / "enc_best.msgpack")
+    v1 = {"params": {"w": np.zeros((4, 4), np.float32)}}
+    v2 = {"params": {"w": np.ones((4, 4), np.float32)}}
+    ckpt.save_variables(v1, path)
+    ckpt.save_variables(v2, path)
+    assert not (tmp_path / "enc_best.msgpack.tmp").exists()
+    out = ckpt.load_variables(v1, path)
+    np.testing.assert_array_equal(out["params"]["w"], v2["params"]["w"])
