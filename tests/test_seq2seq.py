@@ -132,3 +132,39 @@ def test_seq2seq_materialize_and_index_batches(tmp_path):
     idx1, texts1 = out[1]
     assert idx0.tolist() == [0, 1] and texts0 == ["ab", "cd"]
     assert idx1.tolist() == [2, 0] and texts1 == ["ad"]
+
+
+def test_train_seq2seq_cli_resident(tmp_path, monkeypatch):
+    """train-seq2seq --data_device resident end-to-end on a tiny corpus:
+    bank upload, index batching, gathered eval decode, checkpointing."""
+    import json
+    import sys
+
+    from PIL import Image
+
+    from effocr_tpu.cli import train_seq2seq as cli
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    texts = ["ab", "cd", "ad", "bc", "da"]
+    coco = {"images": [], "annotations": [], "categories": []}
+    r = np.random.default_rng(0)
+    for i, t in enumerate(texts):
+        arr = r.integers(0, 256, (20, 50, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"l{i}.png")
+        coco["images"].append({"id": i, "file_name": f"l{i}.png",
+                               "text": t})
+    cj = tmp_path / "corpus.json"
+    cj.write_text(json.dumps(coco))
+
+    run = tmp_path / "s2s"
+    monkeypatch.setattr(sys, "argv", [
+        "train-seq2seq", "--image_dir", str(img_dir),
+        "--train_coco", str(cj), "--val_coco", str(cj),
+        "--run_name", str(run), "--batch_size", "2", "--num_epochs", "1",
+        "--max_len", "8", "--dim", "32", "--img_h", "32", "--img_w", "64",
+        "--data_device", "resident",
+    ])
+    cli.main()
+    assert (run / "seq2seq_best.msgpack").exists()
+    assert (run / "charset.json").exists()
