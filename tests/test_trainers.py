@@ -372,3 +372,35 @@ def test_checkpoint_atomic_write(tmp_path):
     assert not (tmp_path / "enc_best.msgpack.tmp").exists()
     out = ckpt.load_variables(v1, path)
     np.testing.assert_array_equal(out["params"]["w"], v2["params"]["w"])
+
+def test_recognizer_dp_mesh_matches_single_device(char_tree, tmp_path):
+    """Data-parallel fit on a 2-device CPU mesh computes the same training
+    trajectory as single-device: identical final params (the DataParallel
+    correctness axis — reference train_effocr_recognizer.py:288-293 — as
+    math, not just a compile check)."""
+    from effocr_tpu.core.mesh import make_mesh
+
+    ds = CharFolderDataset(char_tree)
+    idx_train, idx_val, _ = split_indices(ds, ["line0"], ["line1"],
+                                          ["line1"])
+    cfg = RecognizerTrainConfig(
+        encoder=EncoderConfig(arch="convnext_atto", image_size=64),
+        batch_size=6, m_per_class=2, num_epochs=1, lr=1e-3, lang="en",
+        no_aug=True,
+    )
+
+    def run(mesh):
+        model = create_encoder("convnext_atto", dtype=jnp.float32)
+        tr = RecognizerTrainer(cfg, model, str(tmp_path / f"dp{bool(mesh)}"),
+                               mesh=mesh)
+        tr.init_state(jax.random.PRNGKey(0))
+        tr.fit(ds, idx_train, idx_val, ds.render_indices())
+        return jax.tree_util.tree_leaves(
+            jax.device_get(tr.state["params"])
+        )
+
+    single = run(None)
+    dp = run(make_mesh(jax.devices("cpu")[:2], model=1))
+    assert len(single) == len(dp)
+    for a, b in zip(single, dp):
+        np.testing.assert_allclose(a, b, atol=2e-4), (a.shape)
