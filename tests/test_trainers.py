@@ -404,3 +404,45 @@ def test_recognizer_dp_mesh_matches_single_device(char_tree, tmp_path):
     assert len(single) == len(dp)
     for a, b in zip(single, dp):
         np.testing.assert_allclose(a, b, atol=2e-4), (a.shape)
+
+def test_localizer_dp_mesh_matches_single_device(tmp_path):
+    """Localizer train_step on a 2-device CPU mesh computes the same loss
+    and gradient update as single-device (detectron2 launch/DDP parity —
+    reference train_effocr_localizer_d2.py:258-265 — as math)."""
+    from effocr_tpu.core.mesh import make_mesh
+
+    cfg = LocalizerTrainConfig(
+        localizer=LocalizerConfig(arch="yolov5n", num_classes=2,
+                                  input_size=128, max_det=32, max_nms=128),
+        batch_size=2,
+    )
+    imgs = np.zeros((2, 128, 128, 3), np.float32)
+    imgs[0, 40:80, 30:60] = 0.2
+    imgs[1, 20:60, 50:90] = 0.4
+    tgts = np.zeros((2, 8, 5), np.float32)
+    tgts[0, 0] = [0, 45, 60, 30, 40]
+    tgts[1, 0] = [1, 70, 40, 40, 40]
+    masks = np.zeros((2, 8), bool)
+    masks[:, 0] = True
+
+    def run(mesh):
+        model = create_localizer("yolov5n", num_classes=2,
+                                 dtype=jnp.float32)
+        tr = LocalizerTrainer(cfg, model,
+                              str(tmp_path / f"loc{bool(mesh)}"),
+                              total_steps=10, mesh=mesh)
+        tr.init_state(jax.random.PRNGKey(0), 128)
+        losses = [
+            float(tr.train_step(jnp.asarray(imgs), jnp.asarray(tgts),
+                                jnp.asarray(masks))[0])
+            for _ in range(3)
+        ]
+        return losses, jax.tree_util.tree_leaves(
+            jax.device_get(tr.state["params"])
+        )
+
+    losses_s, params_s = run(None)
+    losses_d, params_d = run(make_mesh(jax.devices("cpu")[:2], model=1))
+    np.testing.assert_allclose(losses_s, losses_d, atol=1e-4)
+    for a, b in zip(params_s, params_d):
+        np.testing.assert_allclose(a, b, atol=2e-4)
