@@ -71,6 +71,10 @@ def main():
     p.add_argument("--crop_sim", type=float, default=0.0,
                    help="p of warping a render into paired-crop geometry "
                         "(scale 0.45-0.85, edge-anchored) during aug")
+    p.add_argument("--adjacent_font_path", type=str, default=None,
+                   help="font file enabling the AddAdjacentChars neighbor-"
+                        "glyph augmentation (reference defines it unwired; "
+                        "opt-in here)")
     p.add_argument("--data_device", type=str, default="stream",
                    choices=["stream", "resident"],
                    help="resident: upload the dataset to HBM once (gray "
@@ -111,6 +115,7 @@ def main():
         aux_lr_mult=args.aux_lr_mult, ref_source=args.ref_source,
         centroid_cap=args.centroid_cap, eval_period_epochs=args.eval_period,
         adam_b2=args.adam_b2, crop_sim=args.crop_sim,
+        adjacent_font_path=args.adjacent_font_path,
         data_device=args.data_device,
     )
 

@@ -199,6 +199,12 @@ class RecognizerTrainConfig:
     # the render->crop distribution gap for classes with no paired data
     # (data/transforms.py augment_batch crop_sim).  0 disables.
     crop_sim: float = 0.0
+    # Font file for the AddAdjacentChars neighbor-glyph augmentation
+    # (utils/datasets_utils.py:93-144 — defined but unwired in the
+    # reference; opt-in here).  None disables.  The font is rendered once
+    # into a per-side glyph bank composited on device (data/transforms.py
+    # _compose_adjacent).
+    adjacent_font_path: Optional[str] = None
     # "resident": upload the whole dataset to HBM once as a gray uint8
     # bank and ship int32 indices per step (train + eval embed).  The
     # TPU-native input pipeline for datasets that fit in HBM (a 110k-item

@@ -170,6 +170,58 @@ def render_chars(
     return idx
 
 
+# Neighbor-glyph sets of the reference's AddAdjacentChars augmentations
+# (utils/datasets_utils.py:97 and :129).  The jp string's duplicates are
+# kept verbatim — they weight the sampling distribution.
+ADJACENT_CHARS_JP = "HOXELI代西岡光夫締西岡雪"
+ADJACENT_CHARS_EN = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.,"
+)
+
+
+def render_adjacent_bank(
+    font_path: str, size: int, lang: str = "en"
+) -> np.ndarray:
+    """Per-side neighbor-glyph bank for the on-device AddAdjacentChars
+    augmentation (reference: utils/datasets_utils.py:93-144, defined but
+    unwired there; opt-in here via RecognizerTrainConfig.adjacent_font_path).
+
+    The reference draws a neighbor glyph with PIL so only an `offx`-wide
+    sliver peeks past the crop edge (e.g. anchor "rm" at x=offx for the
+    left side).  The TPU equivalent pre-renders each glyph flush against
+    the relevant canvas edge; at train time the batch kernel slices the
+    flush edge off and composites it at the opposite border
+    (data/transforms.py _compose_adjacent).
+
+    Returns uint8 [V, N, size, size], white background, dark ink.
+    V = sides in order: en (l, r) — bottom-anchored like the reference's
+    "rb"/"lb" anchors at y=h; jp (l, r, t, b) — centered like "rm"/"lm"/
+    "mb"/"mt" at the canvas midlines.
+    """
+    chars = list(ADJACENT_CHARS_JP if lang == "jp" else ADJACENT_CHARS_EN)
+    try:
+        _, covered = get_unicode_coverage_from_ttf(font_path)
+        cov = set(covered)
+        kept = [c for c in chars if c in cov]
+        if kept:
+            chars = kept
+    except Exception:
+        pass  # coverage probe is best-effort; PIL renders tofu otherwise
+    font = ImageFont.truetype(font_path, size=size)
+    if lang == "jp":
+        anchors = [("rm", (size, size // 2)), ("lm", (0, size // 2)),
+                   ("mb", (size // 2, size)), ("mt", (size // 2, 0))]
+    else:
+        anchors = [("rb", (size, size)), ("lb", (0, size))]
+    bank = np.full((len(anchors), len(chars), size, size), 255, np.uint8)
+    for v, (anchor, xy) in enumerate(anchors):
+        for i, c in enumerate(chars):
+            img = Image.new("L", (size, size), 255)
+            ImageDraw.Draw(img).text(xy, c, 0, font=font, anchor=anchor)
+            bank[v, i] = np.asarray(img)
+    return bank
+
+
 def paired_chars(
     dir_paths: Sequence[str], save_path: str, omit: str = "", square: bool = False
 ) -> int:

@@ -128,6 +128,55 @@ def _random_erode_dilate(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     return jnp.where(do_dilate[:, None, None, None], di_sel, er_sel)
 
 
+def _compose_adjacent(x: jnp.ndarray, bank: jnp.ndarray, key: jax.Array,
+                      lang: str) -> jnp.ndarray:
+    """AddAdjacentChars / AddAdjacentCharsEng on device
+    (utils/datasets_utils.py:93-144): composite neighbor-glyph slivers at
+    the crop edges so the encoder learns to ignore bleed-through from
+    adjacent characters.
+
+    bank: uint8 [V, N, S, S] from data/fonts.py render_adjacent_bank —
+    each glyph pre-rendered flush against the edge it peeks in from.
+    Per sample: n_sides ~ the reference's categorical (jp p=[.7,.2,.05,
+    .05,0] over 0-4 of l/r/t/b; en p=[.5,.25,.25] over 0-2 of l/r),
+    sides chosen without replacement, one uniform glyph per side,
+    composited with min() (dark ink on white).
+    """
+    b, size = x.shape[0], x.shape[1]
+    v, n = bank.shape[0], bank.shape[1]
+    if lang == "jp":
+        probs = jnp.asarray([0.7, 0.2, 0.05, 0.05, 0.0])
+        offx = size // 10
+        peek = [offx, offx, max(offx // 2, 1), max(offx // 2, 1)]
+    else:
+        probs = jnp.asarray([0.5, 0.25, 0.25])
+        offx = size // 8
+        peek = [offx, offx]
+    k_n, k_perm, k_glyph = jax.random.split(key, 3)
+    n_sides = jax.random.choice(k_n, probs.shape[0], (b,), p=probs)
+    ranks = jnp.argsort(
+        jnp.argsort(jax.random.uniform(k_perm, (b, v)), axis=1), axis=1
+    )
+    active = ranks < n_sides[:, None]                       # [B, V]
+    gidx = jax.random.randint(k_glyph, (b, v), 0, n)
+    for s_i in range(v):
+        g = jnp.take(bank[s_i], gidx[:, s_i], axis=0)
+        g = g.astype(jnp.float32) / 255.0                   # [B, S, S]
+        p = peek[s_i]
+        sliver = jnp.ones((b, size, size), jnp.float32)
+        if s_i == 0:    # left edge <- rightmost p cols of flush-right glyph
+            sliver = sliver.at[:, :, :p].set(g[:, :, size - p:])
+        elif s_i == 1:  # right edge <- leftmost p cols of flush-left glyph
+            sliver = sliver.at[:, :, size - p:].set(g[:, :, :p])
+        elif s_i == 2:  # top edge <- bottom p rows of flush-bottom glyph
+            sliver = sliver.at[:, :p, :].set(g[:, size - p:, :])
+        else:           # bottom edge <- top p rows of flush-top glyph
+            sliver = sliver.at[:, size - p:, :].set(g[:, :p, :])
+        merged = jnp.minimum(x, sliver[..., None])
+        x = jnp.where(active[:, s_i][:, None, None, None], merged, x)
+    return x
+
+
 def _per_sample_apply(p: float, key: jax.Array, x_new: jnp.ndarray,
                       x_old: jnp.ndarray) -> jnp.ndarray:
     b = x_old.shape[0]
@@ -145,12 +194,16 @@ def augment_batch(
     high_blur: bool = False,
     no_aug: bool = False,
     crop_sim: float = 0.0,
+    adjacent_bank: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """uint8 [B,S,S,3] white-padded squares -> normalized float32 crops.
 
     Renders get the full augmentation stack; paired crops (is_paired=True)
     only get normalize.  no_aug turns augmentation off for everyone
-    (train_effocr_recognizer.py --no_aug).
+    (train_effocr_recognizer.py --no_aug).  adjacent_bank (uint8
+    [V,N,S,S], render_adjacent_bank) enables the AddAdjacentChars
+    neighbor-glyph composite — applied first, so the slivers ride through
+    the affine/noise stack like real crop bleed-through would.
     """
     x = images_u8.astype(jnp.float32) / 255.0
     if no_aug:
@@ -159,6 +212,9 @@ def augment_batch(
     plain = x
     b, size = x.shape[0], x.shape[1]
     keys = jax.random.split(key, 18)
+
+    if adjacent_bank is not None:
+        x = _compose_adjacent(x, adjacent_bank, keys[17], lang)
 
     # crop-geometry simulation: renders are full-frame centered glyphs,
     # but real PAIRED crops hold the glyph at roughly 0.45-0.85x scale

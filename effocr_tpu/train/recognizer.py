@@ -47,7 +47,8 @@ from effocr_tpu.train.metrics import MetricsWriter
 
 def make_train_step(model, cfg: RecognizerTrainConfig, tx,
                     classifier_mode: bool, mesh: Optional[Mesh] = None,
-                    use_aux: bool = False, bank_mode: bool = False):
+                    use_aux: bool = False, bank_mode: bool = False,
+                    adjacent_bank: Optional[jnp.ndarray] = None):
     """Build the jitted (augment -> forward -> loss -> update) step.
 
     use_aux: optimize an auxiliary cosine-classifier head alongside SupCon
@@ -69,7 +70,7 @@ def make_train_step(model, cfg: RecognizerTrainConfig, tx,
         return augment_batch(
             images_u8, is_paired, key, lang=cfg.lang,
             high_blur=cfg.high_blur, no_aug=cfg.no_aug,
-            crop_sim=cfg.crop_sim,
+            crop_sim=cfg.crop_sim, adjacent_bank=adjacent_bank,
         )
 
     def body(state, x, targets, key):
@@ -167,9 +168,22 @@ class RecognizerTrainer:
         self.metrics = MetricsWriter(run_dir, use_wandb=use_wandb)
 
         self.use_aux = (not classifier_mode) and cfg.aux_ce_weight > 0
+        self._adjacent_bank = None
+        if cfg.adjacent_font_path:
+            from effocr_tpu.data.fonts import render_adjacent_bank
+
+            bank = render_adjacent_bank(
+                cfg.adjacent_font_path, cfg.encoder.image_size, cfg.lang
+            )
+            self._adjacent_bank = jnp.asarray(bank)
+            if mesh is not None:
+                self._adjacent_bank = jax.device_put(
+                    self._adjacent_bank, NamedSharding(mesh, P())
+                )
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
         self._step_fn = make_train_step(
-            model, cfg, self.tx, classifier_mode, mesh, use_aux=False
+            model, cfg, self.tx, classifier_mode, mesh, use_aux=False,
+            adjacent_bank=self._adjacent_bank,
         )
         self._embed_fn = jax.jit(
             lambda variables, x: model.apply(variables, x, train=False)
@@ -224,6 +238,7 @@ class RecognizerTrainer:
         self._step_fn = make_train_step(
             self.model, cfg, self.tx, self.classifier_mode, self.mesh,
             use_aux=self.use_aux, bank_mode=self.bank is not None,
+            adjacent_bank=self._adjacent_bank,
         )
         if self.use_aux:
             trainable = {"model": self.state["params"],

@@ -176,3 +176,58 @@ def test_augment_crop_sim_geometry():
     out2 = np.asarray(out2) * np.array(IMAGENET_STD) + np.array(IMAGENET_MEAN)
     dark_rows = np.where((out2[0].mean(-1) < 0.5).any(axis=1))[0]
     assert dark_rows[0] == 8 and dark_rows[-1] == size - 9
+
+
+def test_adjacent_chars_augmentation():
+    """AddAdjacentChars equivalent (utils/datasets_utils.py:93-144): the
+    bank renders flush-edge glyphs; _compose_adjacent puts ink ONLY in the
+    peek band at active edges; paired crops bypass it entirely."""
+    import jax
+    import jax.numpy as jnp
+
+    from effocr_tpu.core.config import IMAGENET_MEAN, IMAGENET_STD
+    from effocr_tpu.data.fonts import render_adjacent_bank
+    from effocr_tpu.data.transforms import _compose_adjacent, augment_batch
+
+    font = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+    size = 64
+    bank = render_adjacent_bank(font, size, lang="en")
+    assert bank.shape[0] == 2 and bank.dtype == np.uint8
+    assert bank.shape[2:] == (size, size)
+    # left-peek variant is flush right (rightmost ink column near the
+    # right edge for every glyph); right-peek variant mirrored.  Wide
+    # glyphs may span the whole canvas, so only the flush edge is pinned.
+    for g in range(bank.shape[1]):
+        ink0 = np.where((bank[0, g] < 128).any(axis=0))[0]
+        ink1 = np.where((bank[1, g] < 128).any(axis=0))[0]
+        assert len(ink0) and ink0[-1] >= size - 8, (g, ink0)
+        assert len(ink1) and ink1[0] < 8, (g, ink1)
+
+    jp_bank = render_adjacent_bank(font, size, lang="jp")
+    assert jp_bank.shape[0] == 4  # l, r, t, b
+    # DejaVu covers none of the CJK neighbor chars but does cover HOXELI
+    assert jp_bank.shape[1] >= 6
+
+    # composite: white batch -> ink appears only inside the edge bands
+    b = 64
+    white = jnp.ones((b, size, size, 3), jnp.float32)
+    out = np.asarray(
+        _compose_adjacent(white, jnp.asarray(bank), jax.random.PRNGKey(0),
+                          "en")
+    )
+    offx = size // 8
+    interior = out[:, :, offx:size - offx, :]
+    assert (interior > 0.99).all(), "ink outside the peek bands"
+    edges = np.concatenate([out[:, :, :offx], out[:, :, size - offx:]], 2)
+    n_with_ink = int((edges < 0.5).any(axis=(1, 2, 3)).sum())
+    # p(>=1 side) = 0.5; over 64 samples this is ~32 +- a few
+    assert 15 <= n_with_ink <= 50, n_with_ink
+
+    # full augment_batch path: paired crops stay un-augmented
+    img = np.full((size, size, 3), 255, np.uint8)
+    batch = jnp.asarray(np.stack([img] * 4))
+    paired = jnp.asarray(np.array([True, True, True, True]))
+    out2 = augment_batch(batch, paired, jax.random.PRNGKey(1), lang="en",
+                         adjacent_bank=jnp.asarray(bank))
+    out2 = np.asarray(out2) * np.array(IMAGENET_STD) + np.array(IMAGENET_MEAN)
+    assert (out2 > 0.99).all()
