@@ -205,6 +205,20 @@ def main():
     p.add_argument("--output_localizer_results", type=str, default=None,
                    help="directory for detection-overlay images "
                         "(infer_effocr_onnx_multi.py:292-305)")
+    p.add_argument("--compare_ocr", action="store_true", default=False,
+                   help="also evaluate external comparators on the same "
+                        "lines (infer_ocr_yolo.py:673-725): Tesseract when "
+                        "installed; GCV/Baidu when credentials are given")
+    p.add_argument("--gcv_api_key", type=str,
+                   default=os.environ.get("GCV_API_KEY"),
+                   help="Google Cloud Vision API key (or $GCV_API_KEY); "
+                        "enables the GCV comparator")
+    p.add_argument("--baidu_api_key", type=str,
+                   default=os.environ.get("BAIDU_API_KEY"))
+    p.add_argument("--baidu_secret_key", type=str,
+                   default=os.environ.get("BAIDU_SECRET_KEY"),
+                   help="Baidu OCR credentials (or $BAIDU_API_KEY/"
+                        "$BAIDU_SECRET_KEY); enables the Baidu comparator")
     args = p.parse_args()
 
     if args.infer_over_img_dir:
@@ -285,6 +299,32 @@ def main():
             norm_edit_distance=args.norm_edit, uncased=args.uncased,
         )
         print(f"EffOCR | Textline accuracy = {acc} | CER = {cer}")
+
+        if args.compare_ocr:
+            from PIL import Image
+
+            from effocr_tpu.utils.comparators import (
+                baidu_access_token,
+                compare_ocr,
+            )
+
+            baidu_token = None
+            if args.baidu_api_key and args.baidu_secret_key:
+                baidu_token = baidu_access_token(
+                    args.baidu_api_key, args.baidu_secret_key)
+            imgs, gts = [], []
+            for x in coco["images"]:
+                path = os.path.join(args.image_dir, x["file_name"])
+                imgs.append(np.asarray(Image.open(path).convert("L")))
+                gts.append(x["text"])
+            comp = compare_ocr(
+                imgs, gts, lang="jpn" if args.lang == "jp" else "eng",
+                gcv_api_key=args.gcv_api_key,
+                baidu_access_token=baidu_token,
+            )
+            for name, (c_acc, c_cer) in comp.items():
+                print(f"{name} | Textline accuracy = {c_acc} "
+                      f"| CER = {c_cer}")
 
 
 if __name__ == "__main__":
