@@ -19,6 +19,7 @@ def main():
         "train_seq2seq": "effocr_tpu.cli.train_seq2seq",
         "build_index": "effocr_tpu.cli.build_index",
         "export": "effocr_tpu.cli.export",
+        "import_trocr": "effocr_tpu.cli.import_trocr",
         "infer": "effocr_tpu.cli.infer",
         "viz": "effocr_tpu.cli.viz",
         "coco_split": "effocr_tpu.cli.coco_tools",

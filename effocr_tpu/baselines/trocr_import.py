@@ -1,0 +1,356 @@
+"""HF TrOCR checkpoint importer — run published TrOCR weights on TPU.
+
+Capability parity with the reference's checkpoint-interop converter
+(scripts/trocr_fairseq_to_pytorch_chkpt.py, which maps fairseq/unilm TrOCR
+checkpoints onto HF ``VisionEncoderDecoderModel``).  The TPU-native
+equivalent goes one hop further down the same chain: it maps an HF
+``VisionEncoderDecoderModel`` (ViT encoder + TrOCR decoder) state dict onto
+a pure-JAX forward, so any published TrOCR checkpoint — including ones
+produced by the reference's converter — runs as a jitted XLA program.
+
+Design notes (TPU-first, not a port):
+- The forward is a pure function over a flat param dict; the architecture
+  spec is a hashable frozen dataclass so ``jax.jit`` treats it as static.
+- Greedy decode is a fixed-length ``lax.scan`` (no KV cache, no dynamic
+  shapes): for a comparator-scale decoder the recompute is cheap and the
+  program stays a single static XLA computation.
+- Exact HF semantics reproduced (verified by the parity test in
+  tests/test_trocr_import.py against the local torch implementation):
+  ViT pre-LN blocks with erf-GELU and eps=1e-12 LayerNorm; TrOCR post-LN
+  decoder blocks, query pre-scaled by head_dim**-0.5, learned positional
+  embeddings with the BART-style offset of 2, optional embed scale
+  sqrt(d_model) and embedding LayerNorm, optional enc_to_dec_proj.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from functools import partial
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TrOCRSpec:
+    """Architecture hyperparameters, inferable from an HF state dict."""
+
+    # encoder (ViT)
+    enc_hidden: int
+    enc_layers: int
+    enc_heads: int
+    patch: int
+    image_size: int
+    # decoder (TrOCR)
+    dec_hidden: int
+    dec_layers: int
+    dec_heads: int
+    vocab_size: int
+    max_positions: int          # excludes the offset-2 rows
+    cross_hidden: int           # kdim/vdim of the cross attention
+    # flags (from config.json; not inferable from shapes)
+    scale_embedding: bool = False
+    layernorm_embedding: bool = True
+    activation: str = "gelu"
+    has_enc_to_dec_proj: bool = False
+
+    @property
+    def n_patches(self) -> int:
+        return (self.image_size // self.patch) ** 2
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight [out, in] -> JAX convention [in, out]."""
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def spec_from_state_dict(
+    sd: Mapping[str, Any], config: Optional[Mapping[str, Any]] = None
+) -> TrOCRSpec:
+    """Infer the architecture from tensor shapes (+ flags from config.json).
+
+    ``config`` is the parsed HF config.json (VisionEncoderDecoderConfig
+    layout: top-level "encoder" and "decoder" sub-dicts); only boolean /
+    string flags are read from it — every dimension comes from the weights.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    proj = sd["encoder.embeddings.patch_embeddings.projection.weight"]
+    enc_hidden, _, patch, _ = proj.shape
+    pos = sd["encoder.embeddings.position_embeddings"]
+    n_patches = pos.shape[1] - 1
+    image_size = patch * int(round(math.sqrt(n_patches)))
+    enc_layers = 0
+    while f"encoder.encoder.layer.{enc_layers}.layernorm_before.weight" in sd:
+        enc_layers += 1
+    dec_layers = 0
+    while f"decoder.model.decoder.layers.{dec_layers}.final_layer_norm.weight" in sd:
+        dec_layers += 1
+    tok = sd["decoder.model.decoder.embed_tokens.weight"]
+    vocab_size, dec_hidden = tok.shape
+    dec_pos = sd["decoder.model.decoder.embed_positions.weight"]
+    cross_k = sd["decoder.model.decoder.layers.0.encoder_attn.k_proj.weight"]
+
+    enc_cfg = (config or {}).get("encoder", {})
+    dec_cfg = (config or {}).get("decoder", {})
+    if not dec_cfg.get("use_learned_position_embeddings", True):
+        raise ValueError(
+            "only learned decoder position embeddings are supported "
+            "(all published TrOCR checkpoints use them)"
+        )
+    return TrOCRSpec(
+        enc_hidden=int(enc_hidden),
+        enc_layers=enc_layers,
+        enc_heads=int(enc_cfg.get("num_attention_heads", enc_hidden // 64)),
+        patch=int(patch),
+        image_size=int(image_size),
+        dec_hidden=int(dec_hidden),
+        dec_layers=dec_layers,
+        dec_heads=int(dec_cfg.get("decoder_attention_heads", dec_hidden // 64)),
+        vocab_size=int(vocab_size),
+        max_positions=int(dec_pos.shape[0] - 2),
+        cross_hidden=int(cross_k.shape[1]),
+        scale_embedding=bool(dec_cfg.get("scale_embedding", False)),
+        layernorm_embedding=(
+            "decoder.model.decoder.layernorm_embedding.weight" in sd
+        ),
+        activation=str(dec_cfg.get("activation_function", "gelu")),
+        has_enc_to_dec_proj=("enc_to_dec_proj.weight" in sd),
+    )
+
+
+def convert_state_dict(sd: Mapping[str, Any], spec: TrOCRSpec) -> Dict[str, np.ndarray]:
+    """HF VisionEncoderDecoder state dict -> flat JAX param dict.
+
+    Linear weights are transposed to [in, out]; the patch conv is kept in
+    HWIO so the encoder embeds patches with one reshaped matmul (an MXU
+    matmul, not a conv — the stride equals the kernel so they coincide).
+    """
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    p: Dict[str, np.ndarray] = {}
+    # --- encoder embeddings ---
+    proj = sd["encoder.embeddings.patch_embeddings.projection.weight"]
+    # [D, 3, P, P] -> [P, P, 3, D] -> flat [P*P*3, D] matmul form
+    p["enc/patch_w"] = np.ascontiguousarray(
+        proj.transpose(2, 3, 1, 0).reshape(-1, spec.enc_hidden)
+    )
+    p["enc/patch_b"] = sd["encoder.embeddings.patch_embeddings.projection.bias"]
+    p["enc/cls"] = sd["encoder.embeddings.cls_token"]
+    p["enc/pos"] = sd["encoder.embeddings.position_embeddings"]
+    for i in range(spec.enc_layers):
+        src = f"encoder.encoder.layer.{i}"
+        dst = f"enc/L{i}"
+        p[f"{dst}/ln1_s"] = sd[f"{src}.layernorm_before.weight"]
+        p[f"{dst}/ln1_b"] = sd[f"{src}.layernorm_before.bias"]
+        for name, hf in (("q", "query"), ("k", "key"), ("v", "value")):
+            p[f"{dst}/{name}_w"] = _t(sd[f"{src}.attention.attention.{hf}.weight"])
+            p[f"{dst}/{name}_b"] = sd[f"{src}.attention.attention.{hf}.bias"]
+        p[f"{dst}/o_w"] = _t(sd[f"{src}.attention.output.dense.weight"])
+        p[f"{dst}/o_b"] = sd[f"{src}.attention.output.dense.bias"]
+        p[f"{dst}/ln2_s"] = sd[f"{src}.layernorm_after.weight"]
+        p[f"{dst}/ln2_b"] = sd[f"{src}.layernorm_after.bias"]
+        p[f"{dst}/fc1_w"] = _t(sd[f"{src}.intermediate.dense.weight"])
+        p[f"{dst}/fc1_b"] = sd[f"{src}.intermediate.dense.bias"]
+        p[f"{dst}/fc2_w"] = _t(sd[f"{src}.output.dense.weight"])
+        p[f"{dst}/fc2_b"] = sd[f"{src}.output.dense.bias"]
+    p["enc/final_ln_s"] = sd["encoder.layernorm.weight"]
+    p["enc/final_ln_b"] = sd["encoder.layernorm.bias"]
+    if spec.has_enc_to_dec_proj:
+        p["proj_w"] = _t(sd["enc_to_dec_proj.weight"])
+        p["proj_b"] = sd["enc_to_dec_proj.bias"]
+    # --- decoder ---
+    p["dec/tok_embed"] = sd["decoder.model.decoder.embed_tokens.weight"]
+    p["dec/pos_embed"] = sd["decoder.model.decoder.embed_positions.weight"]
+    if spec.layernorm_embedding:
+        p["dec/emb_ln_s"] = sd["decoder.model.decoder.layernorm_embedding.weight"]
+        p["dec/emb_ln_b"] = sd["decoder.model.decoder.layernorm_embedding.bias"]
+    for i in range(spec.dec_layers):
+        src = f"decoder.model.decoder.layers.{i}"
+        dst = f"dec/L{i}"
+        for blk, hf in (("self", "self_attn"), ("cross", "encoder_attn")):
+            for name in ("q", "k", "v"):
+                p[f"{dst}/{blk}_{name}_w"] = _t(sd[f"{src}.{hf}.{name}_proj.weight"])
+                p[f"{dst}/{blk}_{name}_b"] = sd[f"{src}.{hf}.{name}_proj.bias"]
+            p[f"{dst}/{blk}_o_w"] = _t(sd[f"{src}.{hf}.out_proj.weight"])
+            p[f"{dst}/{blk}_o_b"] = sd[f"{src}.{hf}.out_proj.bias"]
+            p[f"{dst}/{blk}_ln_s"] = sd[f"{src}.{hf}_layer_norm.weight"]
+            p[f"{dst}/{blk}_ln_b"] = sd[f"{src}.{hf}_layer_norm.bias"]
+        p[f"{dst}/fc1_w"] = _t(sd[f"{src}.fc1.weight"])
+        p[f"{dst}/fc1_b"] = sd[f"{src}.fc1.bias"]
+        p[f"{dst}/fc2_w"] = _t(sd[f"{src}.fc2.weight"])
+        p[f"{dst}/fc2_b"] = sd[f"{src}.fc2.bias"]
+        p[f"{dst}/final_ln_s"] = sd[f"{src}.final_layer_norm.weight"]
+        p[f"{dst}/final_ln_b"] = sd[f"{src}.final_layer_norm.bias"]
+    p["dec/out_proj_w"] = _t(sd["decoder.output_projection.weight"])
+    return p
+
+
+# ---------------------------------------------------------------- forward
+
+
+def _ln(x, s, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _act(name: str):
+    if name == "gelu":
+        return partial(jax.nn.gelu, approximate=False)
+    if name == "gelu_new":
+        return partial(jax.nn.gelu, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unsupported activation {name!r}")
+
+
+def _mha(q_in, kv_in, p, prefix, heads, causal: bool):
+    """Multi-head attention matching HF TrOCR/ViT: q pre-scaled by
+    head_dim**-0.5 (identical math to the /sqrt(d) form)."""
+    b, tq, _ = q_in.shape
+    tk = kv_in.shape[1]
+    d = p[f"{prefix}q_w"].shape[1]
+    hd = d // heads
+    q = q_in @ p[f"{prefix}q_w"] + p[f"{prefix}q_b"]
+    k = kv_in @ p[f"{prefix}k_w"] + p[f"{prefix}k_b"]
+    v = kv_in @ p[f"{prefix}v_w"] + p[f"{prefix}v_b"]
+    q = q.reshape(b, tq, heads, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
+    k = k.reshape(b, tk, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, tk, heads, hd).transpose(0, 2, 1, 3)
+    attn = q @ k.transpose(0, 1, 3, 2)
+    if causal:
+        mask = jnp.tril(jnp.ones((tq, tk), bool))
+        attn = jnp.where(mask[None, None], attn, jnp.float32(-1e30))
+    attn = jax.nn.softmax(attn, axis=-1)
+    o = (attn @ v).transpose(0, 2, 1, 3).reshape(b, tq, d)
+    return o @ p[f"{prefix}o_w"] + p[f"{prefix}o_b"]
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def trocr_encode(params, spec: TrOCRSpec, pixel_values):
+    """pixel_values [B, H, W, 3] float32 (already mean/std normalized)
+    -> encoder memory [B, N+1, cross_hidden]."""
+    b = pixel_values.shape[0]
+    g = spec.image_size // spec.patch
+    # patchify as a matmul: [B, g, P, g, P, 3] -> [B, g*g, P*P*3]
+    x = pixel_values.reshape(b, g, spec.patch, g, spec.patch, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, -1)
+    x = x @ params["enc/patch_w"] + params["enc/patch_b"]
+    cls = jnp.broadcast_to(params["enc/cls"], (b, 1, spec.enc_hidden))
+    x = jnp.concatenate([cls, x], axis=1) + params["enc/pos"]
+    for i in range(spec.enc_layers):
+        L = f"enc/L{i}"
+        h = _ln(x, params[f"{L}/ln1_s"], params[f"{L}/ln1_b"], 1e-12)
+        x = x + _mha(h, h, params, f"{L}/", spec.enc_heads, causal=False)
+        h = _ln(x, params[f"{L}/ln2_s"], params[f"{L}/ln2_b"], 1e-12)
+        h = _act("gelu")(h @ params[f"{L}/fc1_w"] + params[f"{L}/fc1_b"])
+        x = x + (h @ params[f"{L}/fc2_w"] + params[f"{L}/fc2_b"])
+    x = _ln(x, params["enc/final_ln_s"], params["enc/final_ln_b"], 1e-12)
+    if spec.has_enc_to_dec_proj:
+        x = x @ params["proj_w"] + params["proj_b"]
+    return x
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def trocr_decode_logits(params, spec: TrOCRSpec, memory, input_ids):
+    """Teacher-forced decoder logits [B, T, vocab] (causal mask only,
+    matching HF with attention_mask=None)."""
+    t = input_ids.shape[1]
+    scale = math.sqrt(spec.dec_hidden) if spec.scale_embedding else 1.0
+    x = jnp.take(params["dec/tok_embed"], input_ids, axis=0) * scale
+    # learned positions with the BART-style offset of 2
+    pos = jax.lax.dynamic_slice_in_dim(params["dec/pos_embed"], 2, t, axis=0)
+    x = x + pos[None]
+    if spec.layernorm_embedding:
+        x = _ln(x, params["dec/emb_ln_s"], params["dec/emb_ln_b"], 1e-5)
+    act = _act(spec.activation)
+    for i in range(spec.dec_layers):
+        L = f"dec/L{i}"
+        h = _mha(x, x, params, f"{L}/self_", spec.dec_heads, causal=True)
+        x = _ln(x + h, params[f"{L}/self_ln_s"], params[f"{L}/self_ln_b"], 1e-5)
+        h = _mha(x, memory, params, f"{L}/cross_", spec.dec_heads, causal=False)
+        x = _ln(x + h, params[f"{L}/cross_ln_s"], params[f"{L}/cross_ln_b"], 1e-5)
+        h = act(x @ params[f"{L}/fc1_w"] + params[f"{L}/fc1_b"])
+        h = h @ params[f"{L}/fc2_w"] + params[f"{L}/fc2_b"]
+        x = _ln(x + h, params[f"{L}/final_ln_s"], params[f"{L}/final_ln_b"], 1e-5)
+    return x @ params["dec/out_proj_w"]
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def trocr_forward(params, spec: TrOCRSpec, pixel_values, input_ids):
+    memory = trocr_encode(params, spec, pixel_values)
+    return trocr_decode_logits(params, spec, memory, input_ids)
+
+
+@partial(jax.jit, static_argnames=("spec", "max_len", "bos_id", "eos_id", "pad_id"))
+def trocr_greedy_decode(params, spec: TrOCRSpec, pixel_values,
+                        max_len: int = 64, bos_id: int = 0, eos_id: int = 2,
+                        pad_id: int = 1):
+    """Fixed-length greedy generation as a lax.scan (BOS stripped on
+    return).  Default special ids follow the published TrOCR/RoBERTa
+    convention (<s>=0, <pad>=1, </s>=2)."""
+    memory = trocr_encode(params, spec, pixel_values)
+    b = pixel_values.shape[0]
+
+    def body(carry, t):
+        tokens, done = carry
+        logits = trocr_decode_logits(params, spec, memory, tokens)
+        nxt = jnp.argmax(logits[:, t], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad_id, nxt)
+        done = done | (nxt == eos_id)
+        tokens = tokens.at[:, t + 1].set(nxt)
+        return (tokens, done), None
+
+    tokens0 = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    done0 = jnp.zeros((b,), bool)
+    (tokens, _), _ = jax.lax.scan(body, (tokens0, done0),
+                                  jnp.arange(max_len - 1))
+    return tokens[:, 1:]
+
+
+# ------------------------------------------------------------ persistence
+
+
+def save_trocr_npz(path: str, params: Dict[str, np.ndarray], spec: TrOCRSpec):
+    meta = json.dumps(dataclasses.asdict(spec))
+    np.savez_compressed(path, __spec__=np.frombuffer(meta.encode(), np.uint8),
+                        **params)
+
+
+def load_trocr_npz(path: str):
+    with np.load(path) as z:
+        spec = TrOCRSpec(**json.loads(bytes(z["__spec__"]).decode()))
+        params = {k: z[k] for k in z.files if k != "__spec__"}
+    return params, spec
+
+
+def import_hf_checkpoint(model_dir: str):
+    """Load an HF TrOCR VisionEncoderDecoder checkpoint directory
+    (config.json + pytorch_model.bin or model.safetensors) and convert.
+
+    Returns (params, spec).  torch is only needed for .bin checkpoints.
+    """
+    import os
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        config = json.load(f)
+    st_path = os.path.join(model_dir, "model.safetensors")
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    elif os.path.exists(bin_path):
+        import torch
+
+        sd = {k: v.numpy() for k, v in
+              torch.load(bin_path, map_location="cpu",
+                         weights_only=True).items()}
+    else:
+        raise FileNotFoundError(
+            f"no model.safetensors or pytorch_model.bin in {model_dir}")
+    spec = spec_from_state_dict(sd, config)
+    return convert_state_dict(sd, spec), spec

@@ -1,0 +1,150 @@
+"""Import a published HF TrOCR checkpoint for TPU inference.
+
+Checkpoint-interop parity with the reference's converter
+(scripts/trocr_fairseq_to_pytorch_chkpt.py: fairseq/unilm TrOCR -> HF
+VisionEncoderDecoderModel).  This CLI takes the next hop: HF checkpoint
+directory -> our npz artifact running as a jitted JAX program, with an
+optional torch parity check and an optional COCO text-line evaluation
+(the reference's trocr/infer_trocr.py role).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def convert(model_dir: str, out_path: str, check: bool = False) -> str:
+    import numpy as np
+
+    from effocr_tpu.baselines.trocr_import import (
+        import_hf_checkpoint,
+        save_trocr_npz,
+        trocr_forward,
+    )
+
+    params, spec = import_hf_checkpoint(model_dir)
+    save_trocr_npz(out_path, params, spec)
+    n_params = sum(int(np.prod(v.shape)) for v in params.values())
+    print(f"converted: {spec.enc_layers}L/{spec.enc_hidden}d encoder + "
+          f"{spec.dec_layers}L/{spec.dec_hidden}d decoder, vocab "
+          f"{spec.vocab_size}, {n_params / 1e6:.1f}M params -> {out_path}")
+
+    if check:
+        import torch
+        from transformers import VisionEncoderDecoderModel
+
+        model = VisionEncoderDecoderModel.from_pretrained(model_dir).eval()
+        rng = np.random.default_rng(0)
+        pix = rng.normal(
+            size=(2, spec.image_size, spec.image_size, 3)).astype(np.float32)
+        ids = rng.integers(
+            3, spec.vocab_size, size=(2, 8)).astype(np.int64)
+        with torch.no_grad():
+            ref = model(
+                pixel_values=torch.from_numpy(pix).permute(0, 3, 1, 2),
+                decoder_input_ids=torch.from_numpy(ids),
+            ).logits.numpy()
+        got = np.asarray(
+            trocr_forward(params, spec, pix, ids.astype(np.int32)))
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+        print("torch parity check passed (teacher-forced logits, "
+              "rtol/atol 2e-3)")
+    return out_path
+
+
+def evaluate(npz_path: str, model_dir: str, coco_json: str, image_dir: str,
+             batch: int = 8, max_len: int = 64, limit: int = 0):
+    """Greedy-decode COCO text lines with the imported model and score with
+    textline_evaluation — the reference's trocr/infer_trocr.py flow."""
+    import numpy as np
+    from PIL import Image
+
+    from effocr_tpu.baselines.trocr_import import (
+        load_trocr_npz,
+        trocr_greedy_decode,
+    )
+    from effocr_tpu.eval.textline import textline_evaluation
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_dir)
+    params, spec = load_trocr_npz(npz_path)
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    dec = cfg.get("decoder", {})
+    bos = cfg.get("decoder_start_token_id",
+                  dec.get("decoder_start_token_id", tok.cls_token_id or 0))
+    eos = dec.get("eos_token_id", tok.sep_token_id or 2)
+    pad = dec.get("pad_token_id", tok.pad_token_id or 1)
+
+    with open(coco_json) as f:
+        coco = json.load(f)
+    pairs = []
+    size = spec.image_size
+    batch_pix, batch_gt = [], []
+    images = [im for im in coco["images"] if im.get("text")]
+    if limit:
+        images = images[:limit]
+
+    def flush():
+        if not batch_pix:
+            return
+        pix = np.stack(batch_pix)
+        ids = np.asarray(trocr_greedy_decode(
+            params, spec, pix, max_len=max_len,
+            bos_id=int(bos), eos_id=int(eos), pad_id=int(pad)))
+        for row, gt in zip(ids, batch_gt):
+            row = list(row)
+            if int(eos) in row:
+                row = row[: row.index(int(eos))]
+            pred = tok.decode([i for i in row if i != int(pad)],
+                              skip_special_tokens=True)
+            pairs.append((gt, pred))
+        batch_pix.clear()
+        batch_gt.clear()
+
+    for im in images:
+        img = Image.open(
+            os.path.join(image_dir, im["file_name"])).convert("RGB")
+        img = img.resize((size, size), Image.BILINEAR)
+        # TrOCRProcessor semantics: rescale 1/255, normalize mean=std=0.5
+        arr = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+        batch_pix.append(arr)
+        batch_gt.append(im["text"])
+        if len(batch_pix) == batch:
+            flush()
+    flush()
+
+    acc, cer = textline_evaluation(pairs)
+    print(f"n={len(pairs)} line_accuracy={acc:.4f} CER={cer:.4f}")
+    return acc, cer
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_dir", required=True,
+                   help="HF checkpoint dir (config.json + weights)")
+    p.add_argument("--out", default=None,
+                   help="default: <model_dir>/trocr_tpu.npz")
+    p.add_argument("--check", action="store_true", default=False,
+                   help="torch parity check after conversion")
+    p.add_argument("--coco_json", default=None,
+                   help="optional: evaluate on COCO lines after import")
+    p.add_argument("--image_dir", default=None)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max_len", type=int, default=64)
+    p.add_argument("--limit", type=int, default=0)
+    args = p.parse_args()
+    out = args.out or os.path.join(args.model_dir, "trocr_tpu.npz")
+    convert(args.model_dir, out, check=args.check)
+    if args.coco_json:
+        if not args.image_dir:
+            p.error("--coco_json requires --image_dir")
+        evaluate(out, args.model_dir, args.coco_json, args.image_dir,
+                 batch=args.batch, max_len=args.max_len, limit=args.limit)
+
+
+if __name__ == "__main__":
+    main()

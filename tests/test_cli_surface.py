@@ -10,7 +10,7 @@ import pytest
 COMMANDS = [
     "make_corpus", "make_charset", "format_dataset",
     "train_recognizer", "train_localizer", "train_seq2seq", "build_index",
-    "build_freq_dict", "export", "infer", "viz",
+    "build_freq_dict", "export", "import_trocr", "infer", "viz",
 ]
 COCO_CMDS = ["coco_split", "coco_combine", "coco_subset"]
 
