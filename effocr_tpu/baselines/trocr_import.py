@@ -311,6 +311,80 @@ def trocr_greedy_decode(params, spec: TrOCRSpec, pixel_values,
     return tokens[:, 1:]
 
 
+@partial(jax.jit, static_argnames=("spec", "max_len", "num_beams", "bos_id",
+                                   "eos_id", "pad_id", "length_penalty"))
+def trocr_beam_decode(params, spec: TrOCRSpec, pixel_values,
+                      max_len: int = 64, num_beams: int = 4,
+                      bos_id: int = 0, eos_id: int = 2, pad_id: int = 1,
+                      length_penalty: float = 1.0):
+    """Fixed-shape beam search matching HF ``generate`` semantics (the
+    reference's TrOCR eval decodes with num_beams=4, trocr/infer_trocr.py
+    :107): 2K candidate expansion per step, EOS candidates finalized with
+    score / generated_len**length_penalty, running beams continue from
+    the non-EOS top-K, plus HF's early-stop heuristic gate (once the best
+    possible running score can no longer beat the worst finished score,
+    no further finalizations are accepted — replicated so a fixed-length
+    scan returns the same winner as HF's dynamic loop with
+    early_stopping=False).  Returns the best sequence [B, max_len-1]
+    (decoder-start stripped, PAD-filled after EOS).
+    """
+    memory = trocr_encode(params, spec, pixel_values)
+    b = memory.shape[0]
+    k, L = num_beams, max_len
+    k2 = 2 * k
+    mem_k = jnp.repeat(memory, k, axis=0)
+    neg = jnp.float32(-1e9)
+
+    run_seq = jnp.full((b, k, L), pad_id, jnp.int32).at[:, :, 0].set(bos_id)
+    run_sc = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, neg) * jnp.ones((b, 1))
+    fin_seq = run_seq
+    fin_sc = jnp.full((b, k), neg)
+    fin_done = jnp.zeros((b, k), bool)
+    heur_ok = jnp.ones((b, 1), bool)   # "improvement still possible"
+    top_mask = (jnp.arange(k2) < k)[None, :]
+
+    def body(carry, t):
+        run_seq, run_sc, fin_seq, fin_sc, fin_done, heur_ok = carry
+        logits = trocr_decode_logits(
+            params, spec, mem_k, run_seq.reshape(b * k, L))
+        v = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits[:, t].reshape(b, k, v), axis=-1)
+        flat = (logp + run_sc[:, :, None]).reshape(b, k * v)
+        top_sc, top_idx = jax.lax.top_k(flat, k2)          # [B, 2K]
+        src = top_idx // v
+        tok = (top_idx % v).astype(jnp.int32)
+        cand_seq = jnp.take_along_axis(
+            run_seq, src[:, :, None], axis=1).at[:, :, t + 1].set(tok)
+        hits = (tok == eos_id) | (t == L - 2)              # stopping criteria
+        # next running beams: top-K among non-finished candidates
+        nxt_sc, nxt_i = jax.lax.top_k(top_sc + hits * neg, k)
+        run_seq = jnp.take_along_axis(cand_seq, nxt_i[:, :, None], axis=1)
+        run_sc = nxt_sc
+        # finalize: only candidates in the top-K mask, gated by heuristic
+        did_finish = hits & top_mask
+        gen_len = (t + 1).astype(jnp.float32)
+        norm_sc = (top_sc / gen_len ** length_penalty
+                   + (~heur_ok) * neg + (~did_finish) * neg)
+        m_sc = jnp.concatenate([fin_sc, norm_sc], axis=1)
+        m_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)
+        m_done = jnp.concatenate([fin_done, did_finish], axis=1)
+        fin_sc, mi = jax.lax.top_k(m_sc, k)
+        fin_seq = jnp.take_along_axis(m_seq, mi[:, :, None], axis=1)
+        fin_done = jnp.take_along_axis(m_done, mi, axis=1)
+        # early-stop heuristic (early_stopping=False branch)
+        best_poss = run_sc[:, :1] / gen_len ** length_penalty
+        worst_fin = jnp.where(
+            fin_done, jnp.min(fin_sc, axis=1, keepdims=True), neg)
+        heur_ok = heur_ok & jnp.any(best_poss > worst_fin, axis=-1,
+                                    keepdims=True)
+        return (run_seq, run_sc, fin_seq, fin_sc, fin_done, heur_ok), None
+
+    (run_seq, run_sc, fin_seq, fin_sc, fin_done, heur_ok), _ = jax.lax.scan(
+        body, (run_seq, run_sc, fin_seq, fin_sc, fin_done, heur_ok),
+        jnp.arange(L - 1))
+    return fin_seq[:, 0, 1:]
+
+
 # ------------------------------------------------------------ persistence
 
 

@@ -55,14 +55,17 @@ def convert(model_dir: str, out_path: str, check: bool = False) -> str:
 
 
 def evaluate(npz_path: str, model_dir: str, coco_json: str, image_dir: str,
-             batch: int = 8, max_len: int = 64, limit: int = 0):
-    """Greedy-decode COCO text lines with the imported model and score with
-    textline_evaluation — the reference's trocr/infer_trocr.py flow."""
+             batch: int = 8, max_len: int = 64, limit: int = 0,
+             num_beams: int = 1):
+    """Decode COCO text lines with the imported model (greedy or beam,
+    reference default num_beams=4) and score with textline_evaluation —
+    the reference's trocr/infer_trocr.py flow."""
     import numpy as np
     from PIL import Image
 
     from effocr_tpu.baselines.trocr_import import (
         load_trocr_npz,
+        trocr_beam_decode,
         trocr_greedy_decode,
     )
     from effocr_tpu.eval.textline import textline_evaluation
@@ -92,9 +95,14 @@ def evaluate(npz_path: str, model_dir: str, coco_json: str, image_dir: str,
         if not batch_pix:
             return
         pix = np.stack(batch_pix)
-        ids = np.asarray(trocr_greedy_decode(
-            params, spec, pix, max_len=max_len,
-            bos_id=int(bos), eos_id=int(eos), pad_id=int(pad)))
+        if num_beams > 1:
+            ids = np.asarray(trocr_beam_decode(
+                params, spec, pix, max_len=max_len, num_beams=num_beams,
+                bos_id=int(bos), eos_id=int(eos), pad_id=int(pad)))
+        else:
+            ids = np.asarray(trocr_greedy_decode(
+                params, spec, pix, max_len=max_len,
+                bos_id=int(bos), eos_id=int(eos), pad_id=int(pad)))
         for row, gt in zip(ids, batch_gt):
             row = list(row)
             if int(eos) in row:
@@ -135,6 +143,9 @@ def main():
     p.add_argument("--image_dir", default=None)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max_len", type=int, default=64)
+    p.add_argument("--num_beams", type=int, default=4,
+                   help="reference eval default (trocr/infer_trocr.py:107);"
+                        " 1 = greedy")
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args()
     out = args.out or os.path.join(args.model_dir, "trocr_tpu.npz")
@@ -143,7 +154,8 @@ def main():
         if not args.image_dir:
             p.error("--coco_json requires --image_dir")
         evaluate(out, args.model_dir, args.coco_json, args.image_dir,
-                 batch=args.batch, max_len=args.max_len, limit=args.limit)
+                 batch=args.batch, max_len=args.max_len, limit=args.limit,
+                 num_beams=args.num_beams)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,37 @@ def test_greedy_decode_matches_hf_generate(tmp_path):
         assert g[: len(r)] == r
 
 
+def test_beam_decode_matches_hf_generate():
+    """num_beams=4 parity with HF generate (the reference's TrOCR eval
+    config, trocr/infer_trocr.py:107) on a batch of random images."""
+    from effocr_tpu.baselines.trocr_import import trocr_beam_decode
+
+    model, config = _make_hf_model()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    spec = spec_from_state_dict(sd, config)
+    params = convert_state_dict(sd, spec)
+
+    rng = np.random.default_rng(7)
+    pix = rng.normal(size=(4, spec.image_size, spec.image_size, 3)).astype(
+        np.float32)
+    max_len = 12
+    with torch.no_grad():
+        ref = model.generate(
+            torch.from_numpy(pix).permute(0, 3, 1, 2),
+            max_length=max_len, num_beams=4, do_sample=False,
+            length_penalty=1.0, early_stopping=False,
+        ).numpy()
+    got = np.asarray(trocr_beam_decode(
+        params, spec, pix, max_len=max_len, num_beams=4,
+        bos_id=1, eos_id=2, pad_id=0))
+    for b in range(pix.shape[0]):
+        r = list(ref[b][1:])
+        g = list(got[b])
+        r = r[: r.index(2) + 1] if 2 in r else r
+        g = g[: g.index(2) + 1] if 2 in g else g
+        assert g == r, (b, g, r)
+
+
 def test_cli_convert_and_evaluate(tmp_path):
     """End-to-end import-trocr CLI flow: save_pretrained checkpoint +
     local char-level fast tokenizer -> convert --check -> COCO eval."""
