@@ -48,6 +48,19 @@ def main():
     p.add_argument("--eval_period", type=int, default=1,
                    help="epochs between evals")
     p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--init_ckpt", type=str, default=None,
+                   help="warm-start model weights from a checkpoint "
+                        "(variables msgpack, e.g. another run's "
+                        "best_bbox_mAP.msgpack; the D2 "
+                        "train.init_checkpoint equivalent, "
+                        "train_effocr_localizer_d2.py:197-198)")
+    p.add_argument("--augment", action="store_true", default=False,
+                   help="on-device train augmentation: flip + scale "
+                        "jitter + photometric (the reference's D2 mapper "
+                        "augs / --alt_augs)")
+    p.add_argument("--aug_flip_p", type=float, default=0.5)
+    p.add_argument("--aug_scale", type=float, default=0.25)
+    p.add_argument("--aug_translate", type=float, default=0.1)
     p.add_argument("--data_device", type=str, default="stream",
                    choices=["stream", "resident"],
                    help="resident: letterbox the corpus once into an HBM "
@@ -77,6 +90,8 @@ def main():
         batch_size=args.batch_size, lr=args.lr,
         weight_decay=args.weight_decay, num_epochs=args.num_epochs,
         eval_period_epochs=args.eval_period,
+        augment=args.augment, aug_flip_p=args.aug_flip_p,
+        aug_scale=args.aug_scale, aug_translate=args.aug_translate,
     )
 
     heights = (
@@ -101,6 +116,13 @@ def main():
     trainer = LocalizerTrainer(cfg, model, args.run_name, total_steps,
                                mesh=mesh, use_wandb=args.wandb)
     trainer.init_state(jax.random.PRNGKey(cfg.seed), args.input_size)
+    if args.init_ckpt:
+        from effocr_tpu.train import checkpoint as ckpt
+
+        loaded = ckpt.load_variables(trainer.variables, args.init_ckpt)
+        trainer.state["params"] = loaded["params"]
+        trainer.state["batch_stats"] = loaded.get("batch_stats", {})
+        print(f"warm-started weights from {args.init_ckpt}")
     if args.resume:
         trainer.resume()
 

@@ -229,6 +229,13 @@ class LocalizerTrainConfig:
     cls_gain: float = 0.5
     anchor_match_thresh: float = 4.0  # wh-ratio anchor matching
     seed: int = 0
+    # on-device train augmentation (reference D2 mapper augs / --alt_augs,
+    # train_effocr_localizer_d2.py:149-166): flip + scale jitter +
+    # photometric, kernels/det_augment.py
+    augment: bool = False
+    aug_flip_p: float = 0.5
+    aug_scale: float = 0.25
+    aug_translate: float = 0.1
 
 
 def to_json(cfg) -> str:

@@ -68,14 +68,34 @@ def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
     bank_mode: canvases/targets live in HBM (LocalizerTrainer.attach_bank);
     the step gathers by int32 index — same rationale as the recognizer's
     resident bank (host PNG decode off the step path; ~1 KB/step on the
-    host->device link instead of megabytes)."""
-    two_stage = anchors is None and hasattr(model, "num_proposals")
+    host->device link instead of megabytes).
 
-    def step(state, images, targets, target_mask):
+    cfg.augment: on-device flip/scale-jitter/photometric augmentation
+    (kernels/det_augment.py; the reference's D2 mapper augs incl.
+    --alt_augs, train_effocr_localizer_d2.py:149-166).  The step then
+    takes an extra int32 ``aug_step`` for PRNG folding — a scalar so the
+    per-step host->device transfer stays bytes, not a key buffer."""
+    two_stage = anchors is None and hasattr(model, "num_proposals")
+    augment = getattr(cfg, "augment", False)
+
+    def _body(state, images, targets, target_mask, aug_step):
         """images [B,S,S,3] uint8 (normalized here — ship bytes, not
         floats) or float in [0,1]; targets [B,T,5] (cls,cx,cy,w,h px)."""
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
+        if augment:
+            from effocr_tpu.kernels.det_augment import (
+                augment_detection_batch,
+            )
+
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed + 101), aug_step
+            )
+            images, targets, target_mask = augment_detection_batch(
+                images, targets, target_mask, key,
+                flip_p=cfg.aug_flip_p, scale=cfg.aug_scale,
+                translate=cfg.aug_translate,
+            )
 
         def loss_fn(params):
             variables = {"params": params,
@@ -120,21 +140,41 @@ def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
         }
         return new_state, loss, parts
 
-    def step_bank(state, bank_imgs, bank_targets, bank_masks, idx):
-        return step(
-            state,
-            jnp.take(bank_imgs, idx, axis=0),
-            jnp.take(bank_targets, idx, axis=0),
-            jnp.take(bank_masks, idx, axis=0),
-        )
+    if augment:
+        def step(state, images, targets, target_mask, aug_step):
+            return _body(state, images, targets, target_mask, aug_step)
 
+        def step_bank(state, bank_imgs, bank_targets, bank_masks, idx,
+                      aug_step):
+            return _body(
+                state,
+                jnp.take(bank_imgs, idx, axis=0),
+                jnp.take(bank_targets, idx, axis=0),
+                jnp.take(bank_masks, idx, axis=0),
+                aug_step,
+            )
+    else:
+        def step(state, images, targets, target_mask):
+            return _body(state, images, targets, target_mask, 0)
+
+        def step_bank(state, bank_imgs, bank_targets, bank_masks, idx):
+            return _body(
+                state,
+                jnp.take(bank_imgs, idx, axis=0),
+                jnp.take(bank_targets, idx, axis=0),
+                jnp.take(bank_masks, idx, axis=0),
+                0,
+            )
+
+    extra = ((NamedSharding(mesh, P()),) if (mesh is not None and augment)
+             else ())
     if bank_mode:
         if mesh is not None:
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
             return jax.jit(
                 step_bank,
-                in_shardings=(repl, repl, repl, repl, data),
+                in_shardings=(repl, repl, repl, repl, data) + extra,
                 out_shardings=(repl, repl, repl),
                 donate_argnums=(0,),
             )
@@ -144,7 +184,7 @@ def make_detector_train_step(model, cfg: LocalizerTrainConfig, tx,
         data = NamedSharding(mesh, P("data"))
         return jax.jit(
             step,
-            in_shardings=(repl, data, data, data),
+            in_shardings=(repl, data, data, data) + extra,
             out_shardings=(repl, repl, repl),
             donate_argnums=(0,),
         )
@@ -193,6 +233,7 @@ class LocalizerTrainer:
         )
         self.state = None
         self.best_ap = -1.0
+        self._aug_step = 0
 
     def init_state(self, key: jax.Array, input_size: Optional[int] = None):
         size = input_size or self.cfg.localizer.input_size
@@ -217,9 +258,11 @@ class LocalizerTrainer:
                 "batch_stats": self.state["batch_stats"]}
 
     def train_step(self, images, targets, target_mask):
-        self.state, loss, parts = self._step_fn(
-            self.state, images, targets, target_mask
-        )
+        args = (self.state, images, targets, target_mask)
+        if self.cfg.augment:
+            args += (jnp.int32(self._aug_step),)
+            self._aug_step += 1
+        self.state, loss, parts = self._step_fn(*args)
         return float(loss), {k: float(v) for k, v in parts.items()}
 
     # ------------------------------------------------------ resident bank
@@ -239,10 +282,12 @@ class LocalizerTrainer:
 
     def train_step_bank(self, dataset, indices):
         bi, bt, bm = self.attach_bank(dataset)
-        self.state, loss, parts = self._step_bank_fn(
-            self.state, bi, bt, bm,
-            jnp.asarray(np.asarray(indices, np.int32)),
-        )
+        args = (self.state, bi, bt, bm,
+                jnp.asarray(np.asarray(indices, np.int32)))
+        if self.cfg.augment:
+            args += (jnp.int32(self._aug_step),)
+            self._aug_step += 1
+        self.state, loss, parts = self._step_bank_fn(*args)
         return float(loss), {k: float(v) for k, v in parts.items()}
 
     # ----------------------------------------------------------------- eval
