@@ -385,6 +385,60 @@ def trocr_beam_decode(params, spec: TrOCRSpec, pixel_values,
     return fin_seq[:, 0, 1:]
 
 
+# ------------------------------------------------------------- finetuning
+
+
+def make_trocr_finetune_step(spec: TrOCRSpec, tx, decoder_start: int,
+                             pad_id: int, bank_mode: bool = False):
+    """CE fine-tuning step for imported TrOCR weights — the reference's
+    trocr/train_trocr.py role (fine-tune a pretrained TrOCR on COCO line
+    pairs; AdamW, pad labels ignored in the loss :49-50,147).
+
+    Teacher forcing follows HF shift_tokens_right: decoder input =
+    [decoder_start] + labels[:-1]; loss = masked mean CE over label
+    positions (identical to HF's -100-ignore CrossEntropyLoss mean).
+
+    bank_mode: the corpus lives in HBM (uint8 pixel bank [N,S,S,3] +
+    int32 label bank + mask bank) and steps ship int32 indices — the
+    same resident-bank pattern as every other trainer here (the axon
+    transport retains each host->device transfer buffer, and a f32
+    384x384 batch is ~14 MB/step otherwise)."""
+    import optax
+
+    def update(state, pixels_u8, labels, label_mask):
+        # TrOCRProcessor semantics: rescale 1/255, normalize mean=std=0.5
+        pix = (pixels_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+
+        def loss_fn(params):
+            inp = jnp.concatenate(
+                [jnp.full((labels.shape[0], 1), decoder_start, labels.dtype),
+                 labels[:, :-1]], axis=1)
+            logits = trocr_forward(params, spec, pix, inp)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, labels[..., None], axis=-1)[..., 0]
+            m = label_mask.astype(jnp.float32)
+            return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return {"params": new_params, "opt_state": new_opt}, loss
+
+    if bank_mode:
+        def step_bank(state, bank_pix, bank_labels, bank_masks, idx):
+            return update(
+                state,
+                jnp.take(bank_pix, idx, axis=0),
+                jnp.take(bank_labels, idx, axis=0),
+                jnp.take(bank_masks, idx, axis=0),
+            )
+
+        return jax.jit(step_bank, donate_argnums=(0,))
+    return jax.jit(update, donate_argnums=(0,))
+
+
 # ------------------------------------------------------------ persistence
 
 

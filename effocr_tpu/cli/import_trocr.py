@@ -130,6 +130,115 @@ def evaluate(npz_path: str, model_dir: str, coco_json: str, image_dir: str,
     return acc, cer
 
 
+def finetune(npz_path: str, model_dir: str, train_coco: str, val_coco: str,
+             image_dir: str, num_epochs: int = 10, batch: int = 8,
+             lr: float = 5e-5, max_len: int = 64, out: str = None,
+             seed: int = 0):
+    """Fine-tune imported TrOCR weights on COCO (line image, text) pairs —
+    the reference's trocr/train_trocr.py (AdamW lr 5e-5 :73-74, pad labels
+    ignored :49-50, per-epoch CER eval, best checkpoint).  The corpus is
+    uploaded once as HBM banks; steps ship int32 indices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from PIL import Image
+
+    from effocr_tpu.baselines.trocr_import import (
+        load_trocr_npz,
+        make_trocr_finetune_step,
+        save_trocr_npz,
+        trocr_greedy_decode,
+    )
+    from effocr_tpu.eval.textline import textline_evaluation
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_dir)
+    params, spec = load_trocr_npz(npz_path)
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    dec = cfg.get("decoder", {})
+    start = int(cfg.get("decoder_start_token_id",
+                        dec.get("decoder_start_token_id", 2)))
+    eos = int(dec.get("eos_token_id", 2))
+    pad = int(dec.get("pad_token_id", 1))
+    size = spec.image_size
+
+    def materialize(coco_json):
+        with open(coco_json) as f:
+            coco = json.load(f)
+        ims = [im for im in coco["images"] if im.get("text")]
+        pix = np.zeros((len(ims), size, size, 3), np.uint8)
+        labels = np.full((len(ims), max_len), pad, np.int32)
+        gts = []
+        for i, im in enumerate(ims):
+            img = Image.open(
+                os.path.join(image_dir, im["file_name"])).convert("RGB")
+            pix[i] = np.asarray(img.resize((size, size), Image.BILINEAR))
+            ids = tok(im["text"], truncation=True,
+                      max_length=max_len).input_ids
+            labels[i, : len(ids)] = ids
+            gts.append(im["text"])
+        return pix, labels, labels != pad, gts
+
+    tr_pix, tr_lab, tr_mask, _ = materialize(train_coco)
+    va_pix, va_lab, va_mask, va_gt = materialize(val_coco)
+    print(f"train {len(tr_pix)} lines, val {len(va_pix)} lines")
+
+    tx = optax.adamw(lr)
+    params = jax.tree.map(jnp.asarray, params)
+    state = {"params": params, "opt_state": tx.init(params)}
+    step = make_trocr_finetune_step(spec, tx, start, pad, bank_mode=True)
+    bank = (jax.device_put(tr_pix), jax.device_put(tr_lab),
+            jax.device_put(tr_mask))
+    va_bank = jax.device_put(va_pix)
+
+    def eval_cer(params):
+        pairs = []
+        for s in range(0, len(va_pix), batch):
+            idx = np.arange(s, min(s + batch, len(va_pix)))
+            full = np.resize(idx, batch)      # pad the tail batch
+            pix_b = jnp.take(va_bank, jnp.asarray(full, jnp.int32), axis=0)
+            pix_f = (pix_b.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            ids = np.asarray(trocr_greedy_decode(
+                params, spec, pix_f, max_len=max_len, bos_id=start,
+                eos_id=eos, pad_id=pad))
+            for j, gi in enumerate(idx):
+                row = list(ids[j])
+                if eos in row:
+                    row = row[: row.index(eos)]
+                pred = tok.decode([i for i in row if i != pad],
+                                  skip_special_tokens=True)
+                pairs.append((va_gt[gi], pred))
+        return textline_evaluation(pairs)
+
+    out = out or npz_path.replace(".npz", "_ft.npz")
+    rng = np.random.default_rng(seed)
+    best_cer = float("inf")
+    n = len(tr_pix)
+    acc, cer = eval_cer(state["params"])
+    print(f"zero-shot: line_accuracy={acc:.4f} CER={cer:.4f}")
+    for epoch in range(num_epochs):
+        order = np.arange(n)
+        rng.shuffle(order)
+        losses = []
+        for s in range(0, n - batch + 1, batch):
+            idx = jnp.asarray(order[s : s + batch], jnp.int32)
+            state, loss = step(state, *bank, idx)
+            losses.append(float(loss))
+        acc, cer = eval_cer(state["params"])
+        print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
+              f"line_accuracy={acc:.4f} CER={cer:.4f}")
+        if cer <= best_cer:
+            best_cer = cer
+            save_trocr_npz(
+                out, {k: np.asarray(v)
+                      for k, v in state["params"].items()}, spec)
+    print(f"best CER {best_cer:.4f} -> {out}")
+    return best_cer
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_dir", required=True,
@@ -139,8 +248,19 @@ def main():
     p.add_argument("--check", action="store_true", default=False,
                    help="torch parity check after conversion")
     p.add_argument("--coco_json", default=None,
-                   help="optional: evaluate on COCO lines after import")
+                   help="optional: evaluate on COCO lines after import "
+                        "(the trocr/infer_trocr.py role; also the "
+                        "--zero_shot equivalent)")
     p.add_argument("--image_dir", default=None)
+    p.add_argument("--train_coco_json", default=None,
+                   help="optional: fine-tune on COCO line pairs after "
+                        "import (the trocr/train_trocr.py role)")
+    p.add_argument("--val_coco_json", default=None)
+    p.add_argument("--num_epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=5e-5,
+                   help="reference default (trocr/train_trocr.py:73-74)")
+    p.add_argument("--finetune_out", default=None,
+                   help="default: <out>_ft.npz")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max_len", type=int, default=64)
     p.add_argument("--num_beams", type=int, default=4,
@@ -150,6 +270,14 @@ def main():
     args = p.parse_args()
     out = args.out or os.path.join(args.model_dir, "trocr_tpu.npz")
     convert(args.model_dir, out, check=args.check)
+    if args.train_coco_json:
+        if not (args.image_dir and args.val_coco_json):
+            p.error("--train_coco_json requires --image_dir and "
+                    "--val_coco_json")
+        finetune(out, args.model_dir, args.train_coco_json,
+                 args.val_coco_json, args.image_dir,
+                 num_epochs=args.num_epochs, batch=args.batch, lr=args.lr,
+                 max_len=args.max_len, out=args.finetune_out)
     if args.coco_json:
         if not args.image_dir:
             p.error("--coco_json requires --image_dir")

@@ -48,6 +48,8 @@ def _make_hf_model(enc_hidden=32, dec_hidden=32, cross_hidden=None,
         decoder_start_token_id=1,
     )
     cfg = VisionEncoderDecoderConfig.from_encoder_decoder_configs(ec, dc)
+    cfg.decoder_start_token_id = 1
+    cfg.pad_token_id = 0
     torch.manual_seed(0)
     model = VisionEncoderDecoderModel(cfg).eval()
     config = {"encoder": ec.to_dict(), "decoder": dc.to_dict()}
@@ -155,6 +157,58 @@ def test_beam_decode_matches_hf_generate():
         assert g == r, (b, g, r)
 
 
+def test_finetune_loss_matches_hf():
+    """Our masked-CE teacher-forcing loss == HF VisionEncoderDecoder loss
+    with -100-masked pad labels (the reference's fine-tune objective,
+    trocr/train_trocr.py:49-50)."""
+    import optax
+
+    from effocr_tpu.baselines.trocr_import import make_trocr_finetune_step
+
+    model, config = _make_hf_model()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    spec = spec_from_state_dict(sd, config)
+    params = convert_state_dict(sd, spec)
+
+    rng = np.random.default_rng(0)
+    pix_u8 = rng.integers(0, 255, (2, spec.image_size, spec.image_size, 3),
+                          dtype=np.uint8)
+    labels = np.full((2, 9), 0, np.int64)        # pad_token_id = 0
+    labels[0, :6] = [1, 5, 6, 7, 8, 2]
+    labels[1, :4] = [1, 9, 10, 2]
+    mask = labels != 0
+
+    pix_f = (torch.from_numpy(pix_u8).permute(0, 3, 1, 2).float()
+             / 255.0 - 0.5) / 0.5
+    # NOTE: we compare against the explicit objective (CE of logits at
+    # position i vs labels[i] with decoder_input_ids = shift_tokens_right
+    # (labels)) — the semantics of transformers <=4.3x that the reference
+    # trained with.  transformers 4.57's generic model(...).loss routes
+    # through ForCausalLMLoss, which shifts labels AGAIN on top of the
+    # already-shifted decoder inputs (targets become labels[i+1] while
+    # input[i]=labels[i-1]) — a double shift we deliberately do not
+    # replicate.
+    from transformers.models.vision_encoder_decoder. \
+        modeling_vision_encoder_decoder import shift_tokens_right
+
+    dec_in = shift_tokens_right(torch.from_numpy(labels), 0, 1)
+    with torch.no_grad():
+        logits = model(pixel_values=pix_f,
+                       decoder_input_ids=dec_in).logits
+        ref_loss = float(torch.nn.CrossEntropyLoss()(
+            logits.reshape(-1, logits.shape[-1]),
+            torch.from_numpy(np.where(mask, labels, -100)).reshape(-1)))
+
+    tx = optax.sgd(0.0)
+    import jax.numpy as jnp
+
+    params_j = {k: jnp.asarray(v) for k, v in params.items()}
+    step = make_trocr_finetune_step(spec, tx, decoder_start=1, pad_id=0)
+    _, loss = step({"params": params_j, "opt_state": tx.init(params_j)},
+                   pix_u8, labels.astype(np.int32), mask)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-4, atol=2e-4)
+
+
 def test_cli_convert_and_evaluate(tmp_path):
     """End-to-end import-trocr CLI flow: save_pretrained checkpoint +
     local char-level fast tokenizer -> convert --check -> COCO eval."""
@@ -166,10 +220,13 @@ def test_cli_convert_and_evaluate(tmp_path):
     model_dir = tmp_path / "hf_ckpt"
     model.save_pretrained(model_dir, safe_serialization=False)
 
-    # char-level WordLevel tokenizer built offline (ids 3.. for chars)
-    from tokenizers import Tokenizer
+    # char-level WordLevel tokenizer built offline (ids 3.. for chars);
+    # </s> appended so the model learns to stop, Fuse decoder so decoded
+    # chars concatenate without separators
+    from tokenizers import Tokenizer, decoders
     from tokenizers.models import WordLevel
     from tokenizers.pre_tokenizers import Split
+    from tokenizers.processors import TemplateProcessing
     from transformers import PreTrainedTokenizerFast
 
     vocab = {"<pad>": 0, "<s>": 1, "</s>": 2}
@@ -177,6 +234,9 @@ def test_cli_convert_and_evaluate(tmp_path):
         vocab[c] = 3 + i
     t = Tokenizer(WordLevel(vocab, unk_token="<pad>"))
     t.pre_tokenizer = Split("", "isolated")
+    t.post_processor = TemplateProcessing(
+        single="$A </s>", special_tokens=[("</s>", 2)])
+    t.decoder = decoders.Fuse()
     tok = PreTrainedTokenizerFast(
         tokenizer_object=t, pad_token="<pad>", bos_token="<s>",
         eos_token="</s>")
@@ -192,7 +252,7 @@ def test_cli_convert_and_evaluate(tmp_path):
 
     rng = np.random.default_rng(0)
     images = []
-    for i in range(2):
+    for i in range(6):
         name = f"line{i}.png"
         Image.fromarray(
             rng.integers(0, 255, (24, 90, 3), dtype=np.uint8)
@@ -206,3 +266,11 @@ def test_cli_convert_and_evaluate(tmp_path):
     acc, cer = evaluate(out, str(model_dir), coco, str(img_dir),
                         batch=2, max_len=8)
     assert 0.0 <= acc <= 100.0 and cer >= 0.0
+
+    # fine-tune (trocr/train_trocr.py role): a random tiny model must
+    # memorize the constant transcription and beat zero-shot CER
+    from effocr_tpu.cli.import_trocr import finetune
+
+    best_cer = finetune(out, str(model_dir), coco, coco, str(img_dir),
+                        num_epochs=10, batch=2, lr=5e-3, max_len=8)
+    assert best_cer < min(cer, 0.5)
