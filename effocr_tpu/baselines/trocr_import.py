@@ -287,11 +287,13 @@ def trocr_forward(params, spec: TrOCRSpec, pixel_values, input_ids):
 
 @partial(jax.jit, static_argnames=("spec", "max_len", "bos_id", "eos_id", "pad_id"))
 def trocr_greedy_decode(params, spec: TrOCRSpec, pixel_values,
-                        max_len: int = 64, bos_id: int = 0, eos_id: int = 2,
+                        max_len: int = 64, bos_id: int = 2, eos_id: int = 2,
                         pad_id: int = 1):
-    """Fixed-length greedy generation as a lax.scan (BOS stripped on
-    return).  Default special ids follow the published TrOCR/RoBERTa
-    convention (<s>=0, <pad>=1, </s>=2)."""
+    """Fixed-length greedy generation as a lax.scan (the start token is
+    stripped on return).  Default ids follow published TrOCR checkpoints:
+    decoding starts with decoder_start_token_id=2 (</s>, the BART
+    convention), <pad>=1, eos=</s>=2 — prefer reading them from the
+    checkpoint's config.json (cli/import_trocr._special_ids)."""
     memory = trocr_encode(params, spec, pixel_values)
     b = pixel_values.shape[0]
 
@@ -315,7 +317,7 @@ def trocr_greedy_decode(params, spec: TrOCRSpec, pixel_values,
                                    "eos_id", "pad_id", "length_penalty"))
 def trocr_beam_decode(params, spec: TrOCRSpec, pixel_values,
                       max_len: int = 64, num_beams: int = 4,
-                      bos_id: int = 0, eos_id: int = 2, pad_id: int = 1,
+                      bos_id: int = 2, eos_id: int = 2, pad_id: int = 1,
                       length_penalty: float = 1.0):
     """Fixed-shape beam search matching HF ``generate`` semantics (the
     reference's TrOCR eval decodes with num_beams=4, trocr/infer_trocr.py
@@ -389,14 +391,15 @@ def trocr_beam_decode(params, spec: TrOCRSpec, pixel_values,
 
 
 def make_trocr_finetune_step(spec: TrOCRSpec, tx, decoder_start: int,
-                             pad_id: int, bank_mode: bool = False):
+                             bank_mode: bool = False):
     """CE fine-tuning step for imported TrOCR weights — the reference's
     trocr/train_trocr.py role (fine-tune a pretrained TrOCR on COCO line
     pairs; AdamW, pad labels ignored in the loss :49-50,147).
 
     Teacher forcing follows HF shift_tokens_right: decoder input =
-    [decoder_start] + labels[:-1]; loss = masked mean CE over label
-    positions (identical to HF's -100-ignore CrossEntropyLoss mean).
+    [decoder_start] + labels[:-1]; loss = mean CE over positions where
+    the caller-supplied label_mask is set (identical to HF's -100-ignore
+    CrossEntropyLoss mean when the mask marks non-pad positions).
 
     bank_mode: the corpus lives in HBM (uint8 pixel bank [N,S,S,3] +
     int32 label bank + mask bank) and steps ship int32 indices — the

@@ -15,6 +15,34 @@ import json
 import os
 
 
+def _special_ids(model_dir: str, tok=None):
+    """Resolve (decoder_start, eos, pad) for a checkpoint directory.
+
+    Handles HF's diff-serialized configs (default-valued keys are OMITTED
+    from config.json — e.g. TrOCRConfig's decoder_start_token_id=2) and
+    present-but-null keys; never uses `or` fallbacks, which would discard
+    a legitimate token id 0.  Published TrOCR checkpoints start decoding
+    with decoder_start_token_id=2 (</s>, the BART convention)."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    dec = cfg.get("decoder") or {}
+
+    def pick(*vals):
+        for v in vals:
+            if v is not None:
+                return int(v)
+        raise AssertionError("unreachable: last candidate is a literal")
+
+    start = pick(cfg.get("decoder_start_token_id"),
+                 dec.get("decoder_start_token_id"), 2)
+    eos = pick(dec.get("eos_token_id"), cfg.get("eos_token_id"),
+               getattr(tok, "eos_token_id", None) if tok else None,
+               getattr(tok, "sep_token_id", None) if tok else None, 2)
+    pad = pick(dec.get("pad_token_id"), cfg.get("pad_token_id"),
+               getattr(tok, "pad_token_id", None) if tok else None, 1)
+    return start, eos, pad
+
+
 def convert(model_dir: str, out_path: str, check: bool = False) -> str:
     import numpy as np
 
@@ -74,13 +102,7 @@ def evaluate(npz_path: str, model_dir: str, coco_json: str, image_dir: str,
 
     tok = AutoTokenizer.from_pretrained(model_dir)
     params, spec = load_trocr_npz(npz_path)
-    with open(os.path.join(model_dir, "config.json")) as f:
-        cfg = json.load(f)
-    dec = cfg.get("decoder", {})
-    bos = cfg.get("decoder_start_token_id",
-                  dec.get("decoder_start_token_id", tok.cls_token_id or 0))
-    eos = dec.get("eos_token_id", tok.sep_token_id or 2)
-    pad = dec.get("pad_token_id", tok.pad_token_id or 1)
+    bos, eos, pad = _special_ids(model_dir, tok)
 
     with open(coco_json) as f:
         coco = json.load(f)
@@ -156,13 +178,7 @@ def finetune(npz_path: str, model_dir: str, train_coco: str, val_coco: str,
 
     tok = AutoTokenizer.from_pretrained(model_dir)
     params, spec = load_trocr_npz(npz_path)
-    with open(os.path.join(model_dir, "config.json")) as f:
-        cfg = json.load(f)
-    dec = cfg.get("decoder", {})
-    start = int(cfg.get("decoder_start_token_id",
-                        dec.get("decoder_start_token_id", 2)))
-    eos = int(dec.get("eos_token_id", 2))
-    pad = int(dec.get("pad_token_id", 1))
+    start, eos, pad = _special_ids(model_dir, tok)
     size = spec.image_size
 
     def materialize(coco_json):
@@ -184,12 +200,18 @@ def finetune(npz_path: str, model_dir: str, train_coco: str, val_coco: str,
 
     tr_pix, tr_lab, tr_mask, _ = materialize(train_coco)
     va_pix, va_lab, va_mask, va_gt = materialize(val_coco)
+    if len(tr_pix) == 0:
+        raise ValueError(f"no images with text fields in {train_coco}")
+    if batch > len(tr_pix):
+        print(f"batch {batch} > {len(tr_pix)} train lines; "
+              f"clamping to {len(tr_pix)}")
+        batch = len(tr_pix)
     print(f"train {len(tr_pix)} lines, val {len(va_pix)} lines")
 
     tx = optax.adamw(lr)
     params = jax.tree.map(jnp.asarray, params)
     state = {"params": params, "opt_state": tx.init(params)}
-    step = make_trocr_finetune_step(spec, tx, start, pad, bank_mode=True)
+    step = make_trocr_finetune_step(spec, tx, start, bank_mode=True)
     bank = (jax.device_put(tr_pix), jax.device_put(tr_lab),
             jax.device_put(tr_mask))
     va_bank = jax.device_put(va_pix)
@@ -261,6 +283,9 @@ def main():
                    help="reference default (trocr/train_trocr.py:73-74)")
     p.add_argument("--finetune_out", default=None,
                    help="default: <out>_ft.npz")
+    p.add_argument("--eval_npz", default=None,
+                   help="skip conversion and use this existing npz "
+                        "artifact (e.g. a previous run's _ft.npz)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max_len", type=int, default=64)
     p.add_argument("--num_beams", type=int, default=4,
@@ -269,19 +294,25 @@ def main():
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args()
     out = args.out or os.path.join(args.model_dir, "trocr_tpu.npz")
-    convert(args.model_dir, out, check=args.check)
+    if args.eval_npz:
+        eval_npz = args.eval_npz      # evaluate an existing artifact
+    else:
+        convert(args.model_dir, out, check=args.check)
+        eval_npz = out
     if args.train_coco_json:
         if not (args.image_dir and args.val_coco_json):
             p.error("--train_coco_json requires --image_dir and "
                     "--val_coco_json")
-        finetune(out, args.model_dir, args.train_coco_json,
+        ft_out = args.finetune_out or eval_npz.replace(".npz", "_ft.npz")
+        finetune(eval_npz, args.model_dir, args.train_coco_json,
                  args.val_coco_json, args.image_dir,
                  num_epochs=args.num_epochs, batch=args.batch, lr=args.lr,
-                 max_len=args.max_len, out=args.finetune_out)
+                 max_len=args.max_len, out=ft_out)
+        eval_npz = ft_out             # --coco_json scores the result
     if args.coco_json:
         if not args.image_dir:
             p.error("--coco_json requires --image_dir")
-        evaluate(out, args.model_dir, args.coco_json, args.image_dir,
+        evaluate(eval_npz, args.model_dir, args.coco_json, args.image_dir,
                  batch=args.batch, max_len=args.max_len, limit=args.limit,
                  num_beams=args.num_beams)
 

@@ -203,10 +203,47 @@ def test_finetune_loss_matches_hf():
     import jax.numpy as jnp
 
     params_j = {k: jnp.asarray(v) for k, v in params.items()}
-    step = make_trocr_finetune_step(spec, tx, decoder_start=1, pad_id=0)
+    step = make_trocr_finetune_step(spec, tx, decoder_start=1)
     _, loss = step({"params": params_j, "opt_state": tx.init(params_j)},
                    pix_u8, labels.astype(np.int32), mask)
     np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-4, atol=2e-4)
+
+
+def test_special_id_resolution(tmp_path):
+    """HF diff-serializes configs: default-valued special ids are OMITTED
+    from config.json (TrOCRConfig's decoder_start_token_id=2), and older
+    checkpoints can carry present-but-null keys; token id 0 from a
+    tokenizer must not be discarded by falsy fallbacks."""
+    import json as _json
+
+    from effocr_tpu.cli.import_trocr import _special_ids
+
+    class FakeTok:
+        eos_token_id = None
+        sep_token_id = None
+        pad_token_id = 0   # legitimate id 0
+
+    # 1. defaults omitted entirely -> TrOCR conventions, tok pad=0 kept
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    (d1 / "config.json").write_text(_json.dumps({"decoder": {}}))
+    assert _special_ids(str(d1), FakeTok()) == (2, 2, 0)
+
+    # 2. present-but-null keys fall through instead of crashing
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    (d2 / "config.json").write_text(_json.dumps(
+        {"decoder_start_token_id": None,
+         "decoder": {"eos_token_id": None, "pad_token_id": None}}))
+    assert _special_ids(str(d2)) == (2, 2, 1)
+
+    # 3. explicit values win
+    d3 = tmp_path / "c"
+    d3.mkdir()
+    (d3 / "config.json").write_text(_json.dumps(
+        {"decoder_start_token_id": 7,
+         "decoder": {"eos_token_id": 8, "pad_token_id": 9}}))
+    assert _special_ids(str(d3), FakeTok()) == (7, 8, 9)
 
 
 def test_cli_convert_and_evaluate(tmp_path):
