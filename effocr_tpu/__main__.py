@@ -20,6 +20,7 @@ def main():
         "build_index": "effocr_tpu.cli.build_index",
         "export": "effocr_tpu.cli.export",
         "import_trocr": "effocr_tpu.cli.import_trocr",
+        "import_encoder": "effocr_tpu.cli.import_encoder",
         "infer": "effocr_tpu.cli.infer",
         "viz": "effocr_tpu.cli.viz",
         "coco_split": "effocr_tpu.cli.coco_tools",

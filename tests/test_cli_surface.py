@@ -10,7 +10,8 @@ import pytest
 COMMANDS = [
     "make_corpus", "make_charset", "format_dataset",
     "train_recognizer", "train_localizer", "train_seq2seq", "build_index",
-    "build_freq_dict", "export", "import_trocr", "infer", "viz",
+    "build_freq_dict", "export", "import_trocr", "import_encoder",
+    "infer", "viz",
 ]
 COCO_CMDS = ["coco_split", "coco_combine", "coco_subset"]
 
