@@ -21,6 +21,7 @@ from effocr_tpu.core.config import (
     EncoderConfig,
     LocalizerConfig,
     PipelineConfig,
+    replace,
 )
 from effocr_tpu.data.coco import load_json
 from effocr_tpu.eval.textline import textline_evaluation
@@ -148,8 +149,23 @@ def load_engine(args) -> EffOCRInference:
         adaptive_height=args.adaptive_height,
         crop_window=args.crop_window,
     )
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) > 1:
+            mesh = Mesh(np.array(devs), ("data",))
+            if cfg.line_batch % len(devs):
+                cfg = replace(
+                    cfg,
+                    line_batch=-(-cfg.line_batch // len(devs)) * len(devs),
+                )
+            print(f"data-parallel inference over {len(devs)} devices")
+        else:
+            print("--data_parallel: single device visible; running unsharded")
     return EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
-                           index, class_map=class_map)
+                           index, class_map=class_map, mesh=mesh)
 
 
 def main():
@@ -184,6 +200,11 @@ def main():
                    help="lines per fused device dispatch (throughput "
                         "scales with chunk size behind a remote chip)")
     p.add_argument("--crop_batch", type=int, default=512)
+    p.add_argument("--data_parallel", action="store_true", default=False,
+                   help="shard the fused chunk programs over all visible "
+                        "devices (jax.shard_map over a 'data' mesh; each "
+                        "chip OCRs line_batch/N lines independently — the "
+                        "v5e-8 serving scale-out)")
     p.add_argument("--adaptive_height", action="store_true", default=False,
                    help="per-chunk stride-32 canvas height tier")
     p.add_argument("--transfer_bits", type=int, default=8,

@@ -23,7 +23,7 @@ import logging
 import os
 import time
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -96,12 +96,33 @@ class EffOCRInference:
         encoder_vars,
         index: Optional[PrototypeIndex] = None,
         class_map: Optional[Dict[int, str]] = None,
+        mesh=None,
     ):
         """kNN mode: pass a PrototypeIndex.  FFNN-classifier mode
         (--N_classes, infer_effocr.py:325-333): pass class_map
         (class index -> char, the class_map.json contract) and a
-        classifier model whose output is logits."""
+        classifier model whose output is logits.
+
+        mesh: optional jax.sharding.Mesh with a 'data' axis — the fused
+        chunk programs run under jax.shard_map with lines sharded over the
+        axis (each chip detects/crops/embeds/retrieves its line_batch/N
+        slice independently; zero collectives, the serving scale-out for
+        the v5e-8 north-star).  Params/prototypes are replicated; the host
+        finisher consumes per-device packed segments.  line_batch must be
+        divisible by the data-axis size.  Fused paths only ('letterbox'
+        crop source)."""
         self.config = config
+        self.mesh = mesh
+        self._n_shards = int(mesh.shape["data"]) if mesh is not None else 1
+        if self._n_shards > 1:
+            assert tuple(mesh.axis_names) == ("data",), (
+                "inference mesh must be a 1-axis ('data',) mesh, got "
+                f"{mesh.axis_names}")
+            assert config.line_batch % self._n_shards == 0, (
+                f"line_batch {config.line_batch} must divide over the "
+                f"data axis ({self._n_shards} shards)")
+            assert config.crop_source == "letterbox", (
+                "mesh inference supports the fused letterbox path only")
         self.localizer = localizer
         self.localizer_vars = localizer_vars
         self.encoder = encoder
@@ -278,13 +299,43 @@ class EffOCRInference:
                 parts.append(word_valid.reshape(-1).astype(jnp.int32))
             return jnp.concatenate(parts)
 
-        @jax.jit
-        def _ocr_chunk(images_u8, content_meta, protos, row_mask):
-            imgs = images_u8.astype(jnp.float32) / 255.0
-            return _ocr_from_canvas(imgs, content_meta, protos, row_mask)
+        def _shard_fused(body, n_data_args):
+            """Wrap a fused chunk program for the data mesh: the first
+            n_data_args inputs shard over 'data', the rest (prototype
+            matrix, row mask) replicate; each device runs the identical
+            per-shard program on its line_batch/N lines and emits its own
+            packed output row [N_dev, out_len] — no collectives."""
+            if self._n_shards == 1:
+                return jax.jit(body)
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
 
-        @jax.jit
-        def _ocr_chunk_packed(packed_u8, content_meta, protos, row_mask):
+            def per_device(*args):
+                return body(*args)[None]
+
+            def wrapped(*args):
+                in_specs = tuple(
+                    P("data") if i < n_data_args else P()
+                    for i in range(len(args))
+                )
+                return shard_map(
+                    per_device, mesh=mesh, in_specs=in_specs,
+                    out_specs=P("data"), check_vma=False,
+                )(*args)
+
+            return jax.jit(wrapped)
+
+        _ocr_chunk = _shard_fused(
+            lambda images_u8, content_meta, protos, row_mask:
+            _ocr_from_canvas(
+                images_u8.astype(jnp.float32) / 255.0, content_meta,
+                protos, row_mask,
+            ),
+            n_data_args=2,
+        )
+
+        def _ocr_chunk_packed_body(packed_u8, content_meta, protos,
+                                   row_mask):
             """Sub-byte transfer variant.  transfer_bits == 4: packed
             [B, H, W/2, C] holds two width-adjacent pixels per byte (hi
             nibble = even px); unpack by nibble replication (v * 17 maps
@@ -311,20 +362,29 @@ class EffOCRInference:
                 row_mask,
             )
 
-        @partial(jax.jit, static_argnames=("size_h",))
+        _ocr_chunk_packed = _shard_fused(_ocr_chunk_packed_body,
+                                         n_data_args=2)
+
+        _bucket_cache: Dict[int, Any] = {}
+
         def _ocr_chunk_bucket(buckets_u8, src_rect, dst_params,
-                              content_meta, protos, row_mask,
-                              size_h=None):
+                              content_meta, protos, row_mask, size_h=None):
             """Bucket-transfer variant: raw-size images arrive in a small
-            padded bucket; the letterbox resize runs on the MXU."""
+            padded bucket; the letterbox resize runs on the MXU.  One
+            compiled (and mesh-wrapped) program per canvas height."""
             size_w = c.localizer.input_size
-            if size_h is None:
-                size_h = c.localizer.input_height or size_w
-            canvas = letterbox_device(
-                buckets_u8.astype(jnp.float32) / 255.0,
-                src_rect, dst_params, size_h, size_w,
-            )
-            return _ocr_from_canvas(canvas, content_meta, protos, row_mask)
+            sh = size_h or c.localizer.input_height or size_w
+            if sh not in _bucket_cache:
+                def body(b_u8, sr, dp, cm, pr, rm, _sh=sh):
+                    canvas = letterbox_device(
+                        b_u8.astype(jnp.float32) / 255.0, sr, dp, _sh,
+                        size_w,
+                    )
+                    return _ocr_from_canvas(canvas, cm, pr, rm)
+
+                _bucket_cache[sh] = _shard_fused(body, n_data_args=4)
+            return _bucket_cache[sh](buckets_u8, src_rect, dst_params,
+                                     content_meta, protos, row_mask)
 
         self._detect = _detect
         self._recognize = _recognize
@@ -779,18 +839,48 @@ class EffOCRInference:
 
     def _finish_fused(self, handle, results, coco_boxes) -> None:
         """Host side of the fused path: one device_get, then pure-Python
-        word boundaries + postprocess."""
+        word boundaries + postprocess.  Under a data mesh the buffer is
+        [n_shards, out_len] — one independent packed segment per device's
+        line_batch/N slice — consumed segment by segment."""
         c = self.config
-        metas = handle["metas"]
+        buf = np.asarray(jax.device_get(handle["fused_out"]))
+        nsh = self._n_shards
+        segs = buf if nsh > 1 else buf[None]
+        ld = c.line_batch // nsh
+        chunk = handle["chunk"]
         chunk_keys = handle["chunk_keys"]
-        n = len(handle["chunk"])
+        metas = handle["metas"]
+        left_chunk: List = []
+        left_keys: List = []
+        for d in range(nsh):
+            lo = d * ld
+            n_d = min(max(len(chunk) - lo, 0), ld)
+            if n_d == 0:
+                break
+            leftover = self._finish_fused_segment(
+                segs[d], chunk[lo : lo + n_d], chunk_keys[lo : lo + n_d],
+                metas[lo : lo + n_d], ld, results, coco_boxes,
+            )
+            if leftover is not None:
+                left_chunk.extend(leftover[0])
+                left_keys.extend(leftover[1])
+        if left_chunk:
+            self._finish_chunk(
+                self._dispatch_chunk(left_chunk, left_keys),
+                results, coco_boxes,
+            )
+
+    def _finish_fused_segment(self, buf, chunk, chunk_keys, metas, nb,
+                              results, coco_boxes):
+        """Decode one device's packed segment (nb line slots, len(chunk)
+        real lines).  Returns (lines, keys) to re-dispatch on crop-slot
+        overflow, else None."""
+        c = self.config
+        n = len(chunk)
         # single packed int32 buffer (see _ocr_from_canvas): one
         # device_get = one relay round trip instead of six.  Crop slots
-        # are argsort(flat_key)[:crop_batch] over line_batch*max_det
-        # candidate keys, so the device ships min(·) rows, not always
-        # crop_batch.
-        buf = np.asarray(jax.device_get(handle["fused_out"]))
-        nb = c.line_batch
+        # are argsort(flat_key)[:crop_batch] over nb*max_det candidate
+        # keys, so the device ships min(·) rows, not always crop_batch.
         cap = min(c.crop_batch, nb * c.localizer.max_det)
         o = 0
         n_chars = buf[o : o + nb].copy()
@@ -833,8 +923,7 @@ class EffOCRInference:
                     "re-dispatching %d tail lines",
                     int(csum[-1]), cap, n - first_bad,
                 )
-                leftover = (handle["chunk"][first_bad:],
-                            chunk_keys[first_bad:])
+                leftover = (chunk[first_bad:], chunk_keys[first_bad:])
                 n = first_bad
 
         if self.classifier_mode:
@@ -885,10 +974,7 @@ class EffOCRInference:
                 "text": out, "chars": orig_boxes,
             }
 
-        if leftover is not None:
-            self._finish_chunk(
-                self._dispatch_chunk(*leftover), results, coco_boxes
-            )
+        return leftover
 
     def _recognize_crops(self, total, all_rects, all_img_idx, host_crops,
                          imgs_dev) -> np.ndarray:

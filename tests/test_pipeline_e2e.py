@@ -8,6 +8,7 @@ predictions so the test isolates pipeline correctness (crop geometry,
 reading order, spaces, decode) from detector training.
 """
 
+import json
 import os
 
 import numpy as np
@@ -425,6 +426,47 @@ def test_pipeline_adaptive_canvas_height(engine_parts):
     results = engine.run(imgs)
     for i, t in enumerate(texts):
         assert results[i] == t, (tier, results[i], t)
+
+
+def test_pipeline_mesh_data_parallel_matches_single(engine_parts):
+    """Data-parallel fused inference over a 2-device mesh (jax.shard_map,
+    lines sharded over 'data') produces the exact results of the
+    single-device engine — the serving scale-out behind the v5e-8
+    north-star (BASELINE.md).  Uses a real random-init yolov5n so each
+    shard genuinely detects on its own slice (output text is junk; the
+    assertion is bit-level agreement, including COCO boxes)."""
+    from jax.sharding import Mesh
+
+    from effocr_tpu.models import create_localizer
+
+    encoder, enc_vars, index = engine_parts
+    loc = create_localizer("yolov5n", num_classes=2, dtype=jnp.float32)
+    lvars = loc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                     train=False)
+
+    texts = ["AbX oT", "kXo bA", "TA bX", "oXk A"]
+    imgs = [make_line(t)[0] for t in texts]
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(arch="yolov5n", input_size=64,
+                                  conf_thresh=0.05, iou_thresh=0.45,
+                                  max_det=16, max_nms=64),
+        encoder=EncoderConfig(arch="tiny"),
+        line_batch=4,
+        crop_batch=128,
+    )
+    single, single_coco = EffOCRInference(
+        cfg, loc, lvars, encoder, enc_vars, index
+    ).run(imgs, return_coco=True)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    sharded, sharded_coco = EffOCRInference(
+        cfg, loc, lvars, encoder, enc_vars, index, mesh=mesh
+    ).run(imgs, return_coco=True)
+
+    assert sharded == single
+    assert json.dumps(sharded_coco, sort_keys=True) == json.dumps(
+        single_coco, sort_keys=True)
 
 
 def test_prototype_index_roundtrip_whitespace_chars(tmp_path):
