@@ -11,7 +11,7 @@ COMMANDS = [
     "make_corpus", "make_charset", "format_dataset",
     "train_recognizer", "train_localizer", "train_seq2seq", "build_index",
     "build_freq_dict", "export", "import_trocr", "import_encoder",
-    "infer", "viz",
+    "infer", "serve", "viz",
 ]
 COCO_CMDS = ["coco_split", "coco_combine", "coco_subset"]
 
