@@ -36,6 +36,9 @@ def main():
     p.add_argument("--imsize", type=int, default=224)
     p.add_argument("--hns_txt_path", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="continue from <run_name>/last.msgpack (full "
+                        "train state incl. optimizer + epoch counter)")
     p.add_argument("--lang", type=str, default="jp", choices=["jp", "en"])
     p.add_argument("--finetune", action="store_true", default=False)
     p.add_argument("--pretrain", action="store_true", default=False)
@@ -169,7 +172,7 @@ def main():
             hardnegs = f.read().split()
 
     best = trainer.fit(dataset, idx_train, idx_val, render_ref_idx,
-                       hardnegs=hardnegs)
+                       hardnegs=hardnegs, resume=args.resume)
     print(f"Best val accuracy: {best}")
 
     trainer.load_best()

@@ -424,7 +424,13 @@ class RecognizerTrainer:
         idx_val: Sequence[int],
         render_ref_idx: Sequence[int],
         hardnegs: Optional[Sequence[str]] = None,
+        resume: bool = False,
     ) -> float:
+        """resume: restore last.msgpack (full train state incl. optimizer)
+        + last_meta.json and continue from the recorded epoch — the
+        localizer trainer's resume story for the recognizer.  The PRNG
+        stream is folded per epoch, so a resumed run sees the same
+        augmentation keys an uninterrupted run would."""
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
         if self.state is None:
@@ -471,14 +477,40 @@ class RecognizerTrainer:
             )
         self._build_optimizer(steps_per_epoch * cfg.num_epochs)
 
-        self.best_acc = evaluate()
-        self.metrics.log({"val/accuracy": self.best_acc}, step=0)
-        self._save_best()
+        start_epoch, step = 0, 0
+        last_path = os.path.join(self.run_dir, "last.msgpack")
+        meta_path = os.path.join(self.run_dir, "last_meta.json")
+        if resume and os.path.exists(last_path) and os.path.exists(meta_path):
+            import json as _json
+
+            self.state = ckpt.load_train_state(self.state, last_path)
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            start_epoch = int(meta["epoch"])
+            step = int(meta["step"])
+            self.best_acc = float(meta["best_acc"])
+            self.metrics.log({"resumed_epoch": start_epoch}, step=step)
+
+        if start_epoch == 0:
+            self.best_acc = evaluate()
+            self.metrics.log({"val/accuracy": self.best_acc}, step=0)
+            self._save_best()
+
+        def _save_last(epoch_done):
+            import json as _json
+
+            ckpt.save_train_state(self.state, last_path)
+            with open(meta_path + ".tmp", "w") as f:
+                _json.dump({"epoch": epoch_done + 1, "step": step,
+                            "best_acc": float(self.best_acc)}, f)
+            os.replace(meta_path + ".tmp", meta_path)
 
         size = cfg.encoder.image_size
-        step = 0
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(start_epoch, cfg.num_epochs):
             sampler = make_sampler(epoch)
+            # per-epoch PRNG fold: a resumed epoch replays the exact key
+            # stream of an uninterrupted run
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch + 1)
             for batch_local in batch_iterator(iter(sampler), cfg.batch_size):
                 global_idx = [idx_train[i] for i in batch_local]
                 key, sub = jax.random.split(key)
@@ -509,6 +541,7 @@ class RecognizerTrainer:
                 if acc >= self.best_acc:
                     self.best_acc = acc
                     self._save_best()
+            _save_last(epoch)
         return self.best_acc
 
     def _save_best(self):

@@ -98,6 +98,39 @@ def test_recognizer_trainer_fit_and_artifacts(char_tree, tmp_path):
     trainer.load_best()
 
 
+def test_recognizer_trainer_resume(char_tree, tmp_path):
+    """fit(resume=True) restores last.msgpack + last_meta.json and
+    continues from the recorded epoch: with num_epochs equal to the
+    completed count it trains zero steps and the params are exactly the
+    saved train state's."""
+    import numpy as np
+
+    ds = CharFolderDataset(char_tree)
+    idx_train, idx_val, _ = split_indices(ds, ["line0"], ["line1"],
+                                          ["line1"])
+    cfg = RecognizerTrainConfig(
+        encoder=EncoderConfig(arch="convnext_atto", image_size=64),
+        batch_size=6, m_per_class=2, num_epochs=1, lr=1e-4, lang="en",
+    )
+    run_dir = str(tmp_path / "run_resume")
+    model = create_encoder("convnext_atto", dtype=jnp.float32)
+    trainer = RecognizerTrainer(cfg, model, run_dir)
+    trainer.init_state(jax.random.PRNGKey(0))
+    best1 = trainer.fit(ds, idx_train, idx_val, ds.render_indices())
+    assert os.path.exists(os.path.join(run_dir, "last.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "last_meta.json"))
+    saved = jax.tree.map(np.asarray, trainer.state["params"])
+
+    trainer2 = RecognizerTrainer(cfg, model, run_dir)
+    trainer2.init_state(jax.random.PRNGKey(7))   # different init
+    best2 = trainer2.fit(ds, idx_train, idx_val, ds.render_indices(),
+                         resume=True)
+    assert best2 == best1                        # best_acc restored
+    for a, b in zip(jax.tree.leaves(saved),
+                    jax.tree.leaves(trainer2.state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_recognizer_recipe_aux_cosine_centroid(char_tree, tmp_path):
     """From-scratch recipe: aux cosine-classifier CE + warmup/cosine lr +
     centroid prototypes; artifacts stay encoder-only."""
