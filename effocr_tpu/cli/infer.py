@@ -168,29 +168,22 @@ def load_engine(args) -> EffOCRInference:
                            index, class_map=class_map, mesh=mesh)
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--image_dir", type=str, required=True)
-    p.add_argument("--coco_json", type=str)
+def add_engine_args(p: argparse.ArgumentParser) -> None:
+    """Flags consumed by load_engine — shared by `infer` and `serve` so
+    the two surfaces can never drift on engine defaults."""
     p.add_argument("--recognizer_dir", type=str, required=True)
     p.add_argument("--lang", type=str, required=True, choices=["en", "jp"])
     p.add_argument("--vertical", action="store_true", default=False)
     p.add_argument("--blacklist_chars", type=str, default=None)
-    p.add_argument("--no_spaces_eval", action="store_true", default=False)
     p.add_argument("--spell_check", action="store_true", default=False)
     p.add_argument("--dictionary_path", type=str, default=None,
                    help='"word count" frequency list for --spell_check '
                         "(build one with: python -m effocr_tpu "
                         "build-freq-dict); default: small builtin list")
-    p.add_argument("--norm_edit", action="store_true", default=False)
     p.add_argument("--localizer_dir", type=str, required=True)
     p.add_argument("--localizer_iou_thresh", type=float, default=0.01)
     p.add_argument("--localizer_conf_thresh", type=float, default=0.35)
     p.add_argument("--anchor_margin", type=float, default=None)
-    p.add_argument("--infer_over_img_dir", action="store_true", default=False)
-    p.add_argument("--save_output", type=str, default=None)
-    p.add_argument("--uncased", action="store_true", default=False)
-    p.add_argument("--n_repeats", type=int, default=1)
     p.add_argument("--crop_source", type=str, default="letterbox",
                    choices=["letterbox", "original"])
     p.add_argument("--crop_window", type=int, default=256,
@@ -223,6 +216,19 @@ def main():
     p.add_argument("--input_height", type=int, default=None,
                    help="rectangular letterbox bucket height (stride-32 "
                         "multiple); default square")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    add_engine_args(p)
+    p.add_argument("--image_dir", type=str, required=True)
+    p.add_argument("--coco_json", type=str)
+    p.add_argument("--no_spaces_eval", action="store_true", default=False)
+    p.add_argument("--norm_edit", action="store_true", default=False)
+    p.add_argument("--infer_over_img_dir", action="store_true", default=False)
+    p.add_argument("--save_output", type=str, default=None)
+    p.add_argument("--uncased", action="store_true", default=False)
+    p.add_argument("--n_repeats", type=int, default=1)
     p.add_argument("--output_localizer_results", type=str, default=None,
                    help="directory for detection-overlay images "
                         "(infer_effocr_onnx_multi.py:292-305)")

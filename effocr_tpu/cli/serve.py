@@ -49,17 +49,32 @@ def serve_loop(
     served = 0
     t0 = now()
 
-    def flush():
-        nonlocal served, oldest
-        if not queue:
-            return
-        keys = [k for k, _ in queue]
-        imgs = [im for _, im in queue]
+    def run_batch(batch):
+        keys = [k for k, _ in batch]
+        imgs = [im for _, im in batch]
         results = engine.run(imgs)
         # engine.run keys string inputs by path, arrays by position
         for i, k in enumerate(keys):
             r = results[imgs[i]] if isinstance(imgs[i], str) else results[i]
             emit(k, r)
+
+    def flush():
+        nonlocal served, oldest
+        if not queue:
+            return
+        try:
+            run_batch(queue)
+        except Exception:
+            # one bad item (unreadable path, truncated upload) must not
+            # take down the server or the rest of the batch — isolate by
+            # re-running per item
+            for item in queue:
+                try:
+                    run_batch([item])
+                except Exception as e:
+                    print(f"serve: failed {item[0]!r}: {e}",
+                          file=stats_out or sys.stderr)
+                    emit(item[0], "")
         served += len(queue)
         queue.clear()
         oldest = None
@@ -81,31 +96,70 @@ def serve_loop(
     return served
 
 
-def _stdin_requests() -> Iterator:
-    for line in sys.stdin:
-        path = line.strip()
-        if path:
-            yield (path, path)
+def _stdin_requests(tick_s: float = 0.05) -> Iterator:
+    """Read paths from stdin without blocking the latency flush: while
+    stdin is idle, None poll ticks keep serve_loop's max-latency check
+    running (an RPC-style client that sends one path and waits for its
+    response must not deadlock against a partial batch)."""
+    import select
+
+    buf = ""
+    while True:
+        ready, _, _ = select.select([sys.stdin], [], [], tick_s)
+        if not ready:
+            yield None
+            continue
+        chunk = os.read(sys.stdin.fileno(), 65536).decode()
+        if not chunk:            # EOF
+            if buf.strip():
+                yield (buf.strip(), buf.strip())
+            return
+        buf += chunk
+        while "\n" in buf:
+            line, buf = buf.split("\n", 1)
+            path = line.strip()
+            if path:
+                yield (path, path)
 
 
 def _watch_requests(watch_dir: str, poll_s: float,
-                    stop_after_s: float = 0.0) -> Iterator:
-    """Yield new image files as they appear; None ticks drive latency
-    flushes while idle."""
+                    stop_after_s: float = 0.0,
+                    processed_dir: Optional[str] = None) -> Iterator:
+    """Yield new image files once their size is stable across two polls
+    (files still being copied in are skipped until complete); None ticks
+    drive latency flushes while idle.
+
+    processed_dir: when set, main()'s emit moves finished files there —
+    that also bounds the per-poll scan and the seen set for long-running
+    servers (entries for vanished files are pruned)."""
     exts = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff"}
     seen = set()
+    pending_size: dict = {}
     t0 = time.monotonic()
     while True:
         found = False
-        for name in sorted(os.listdir(watch_dir)):
-            if os.path.splitext(name)[1].lower() not in exts:
+        present = set()
+        with os.scandir(watch_dir) as it:
+            entries = sorted(it, key=lambda e: e.name)
+        for e in entries:
+            if os.path.splitext(e.name)[1].lower() not in exts:
                 continue
-            path = os.path.join(watch_dir, name)
+            path = e.path
+            present.add(path)
             if path in seen:
                 continue
-            seen.add(path)
-            found = True
-            yield (path, path)
+            try:
+                size = e.stat().st_size
+            except OSError:
+                continue
+            if pending_size.get(path) == size:
+                pending_size.pop(path, None)
+                seen.add(path)
+                found = True
+                yield (path, path)
+            else:
+                pending_size[path] = size     # wait one poll for stability
+        seen &= present                        # moved/deleted files forget
         if not found:
             yield None
             time.sleep(poll_s)
@@ -114,15 +168,16 @@ def _watch_requests(watch_dir: str, poll_s: float,
 
 
 def main():
-    from effocr_tpu.cli.infer import load_engine
+    from effocr_tpu.cli.infer import add_engine_args, load_engine
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--recognizer_dir", type=str, required=True)
-    p.add_argument("--localizer_dir", type=str, required=True)
-    p.add_argument("--lang", type=str, required=True, choices=["en", "jp"])
-    p.add_argument("--vertical", action="store_true", default=False)
+    add_engine_args(p)   # engine knobs shared with `infer`, never drift
     p.add_argument("--stdin", action="store_true", default=False)
     p.add_argument("--watch_dir", type=str, default=None)
+    p.add_argument("--processed_dir", type=str, default=None,
+                   help="watch mode: move finished files here (keeps the "
+                        "watch dir and the dedup set bounded on "
+                        "long-running servers)")
     p.add_argument("--out", type=str, default=None,
                    help="JSONL output path (watch mode; default stdout)")
     p.add_argument("--max_latency_ms", type=float, default=200.0,
@@ -132,26 +187,6 @@ def main():
     p.add_argument("--stop_after_s", type=float, default=0.0,
                    help="watch mode: exit after this many seconds "
                         "(0 = run forever)")
-    # engine knobs shared with `infer`
-    p.add_argument("--input_height", type=int, default=None)
-    p.add_argument("--localizer_conf_thresh", type=float, default=0.3)
-    p.add_argument("--localizer_iou_thresh", type=float, default=0.15)
-    p.add_argument("--anchor_margin", type=float, default=None)
-    p.add_argument("--spell_check", action="store_true", default=False)
-    p.add_argument("--dictionary_path", type=str, default=None)
-    p.add_argument("--crop_source", type=str, default="letterbox")
-    p.add_argument("--retrieval_kernel", type=str, default="xla")
-    p.add_argument("--transfer_bits", type=int, default=8,
-                   choices=[2, 4, 8])
-    p.add_argument("--line_batch", type=int, default=16)
-    p.add_argument("--crop_batch", type=int, default=512)
-    p.add_argument("--adaptive_height", action="store_true", default=False)
-    p.add_argument("--crop_window", type=int, default=256)
-    p.add_argument("--data_parallel", action="store_true", default=False)
-    p.add_argument("--build_index_from", type=str, default=None)
-    p.add_argument("--blacklist_chars", type=str, default=None)
-    p.add_argument("--render_font_name", type=str,
-                   default="NotoSerif-Regular")
     args = p.parse_args()
 
     if not (args.stdin or args.watch_dir):
@@ -164,14 +199,21 @@ def main():
     else:
         sink_f = sys.stdout
 
+    if args.processed_dir:
+        os.makedirs(args.processed_dir, exist_ok=True)
+
     def emit(key, text):
         sink_f.write(json.dumps({"path": key, "text": text},
                                 ensure_ascii=False) + "\n")
         sink_f.flush()
+        if args.processed_dir and isinstance(key, str) and os.path.exists(key):
+            os.replace(key, os.path.join(args.processed_dir,
+                                         os.path.basename(key)))
 
     requests = (_stdin_requests() if args.stdin
                 else _watch_requests(args.watch_dir, args.poll_ms / 1e3,
-                                     args.stop_after_s))
+                                     args.stop_after_s,
+                                     processed_dir=args.processed_dir))
     serve_loop(engine, requests, emit, args.line_batch,
                max_latency_s=args.max_latency_ms / 1e3)
     if args.out:

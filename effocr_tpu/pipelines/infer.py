@@ -121,8 +121,16 @@ class EffOCRInference:
             assert config.line_batch % self._n_shards == 0, (
                 f"line_batch {config.line_batch} must divide over the "
                 f"data axis ({self._n_shards} shards)")
+            assert config.crop_batch % self._n_shards == 0, (
+                f"crop_batch {config.crop_batch} must divide over the "
+                f"data axis ({self._n_shards} shards)")
             assert config.crop_source == "letterbox", (
                 "mesh inference supports the fused letterbox path only")
+        # per-device crop-slot capacity: the compaction (and therefore the
+        # encoder batch, the dominant stage) is per shard — without this
+        # every chip would encode the full crop_batch for line_batch/N
+        # lines and the mesh would buy no throughput
+        self._crop_cap = config.crop_batch // self._n_shards
         self.localizer = localizer
         self.localizer_vars = localizer_vars
         self.encoder = encoder
@@ -225,7 +233,7 @@ class EffOCRInference:
                 jnp.arange(b, dtype=jnp.int32)[:, None] * (1 << 18) + edge_q,
                 invalid,
             ).reshape(-1)
-            order = jnp.argsort(flat_key)[: c.crop_batch]
+            order = jnp.argsort(flat_key)[: self._crop_cap]
             flat_valid = jnp.take(flat_key, order) < invalid
             flat_b = (order // m).astype(jnp.int32)
             flat_boxes = boxes.reshape(-1, 4)[order]
@@ -879,9 +887,10 @@ class EffOCRInference:
         n = len(chunk)
         # single packed int32 buffer (see _ocr_from_canvas): one
         # device_get = one relay round trip instead of six.  Crop slots
-        # are argsort(flat_key)[:crop_batch] over nb*max_det candidate
-        # keys, so the device ships min(·) rows, not always crop_batch.
-        cap = min(c.crop_batch, nb * c.localizer.max_det)
+        # are argsort(flat_key)[:crop_cap] over nb*max_det candidate
+        # keys (crop_cap = crop_batch / n_shards), so the device ships
+        # min(·) rows, not always crop_cap.
+        cap = min(self._crop_cap, nb * c.localizer.max_det)
         o = 0
         n_chars = buf[o : o + nb].copy()
         o += nb

@@ -480,16 +480,30 @@ class RecognizerTrainer:
         start_epoch, step = 0, 0
         last_path = os.path.join(self.run_dir, "last.msgpack")
         meta_path = os.path.join(self.run_dir, "last_meta.json")
-        if resume and os.path.exists(last_path) and os.path.exists(meta_path):
-            import json as _json
+        if resume:
+            if os.path.exists(last_path) and os.path.exists(meta_path):
+                import json as _json
 
-            self.state = ckpt.load_train_state(self.state, last_path)
-            with open(meta_path) as f:
-                meta = _json.load(f)
-            start_epoch = int(meta["epoch"])
-            step = int(meta["step"])
-            self.best_acc = float(meta["best_acc"])
-            self.metrics.log({"resumed_epoch": start_epoch}, step=step)
+                self.state = ckpt.load_train_state(self.state, last_path)
+                with open(meta_path) as f:
+                    meta = _json.load(f)
+                start_epoch = int(meta["epoch"])
+                step = int(meta["step"])
+                self.best_acc = float(meta["best_acc"])
+                self.metrics.log({"resumed_epoch": start_epoch}, step=step)
+            elif os.path.exists(ckpt.best_checkpoint_path(self.run_dir)):
+                # prior artifacts exist but no resumable state: training
+                # from scratch here would silently overwrite them
+                raise FileNotFoundError(
+                    f"--resume: no {last_path} / {meta_path}, but "
+                    f"{self.run_dir} already holds a best checkpoint — "
+                    "refusing to restart from scratch over it (point at "
+                    "the right run_dir, or remove enc_best.msgpack to "
+                    "really start over)"
+                )
+            else:
+                print(f"--resume: nothing to restore in {self.run_dir}; "
+                      "starting fresh")
 
         if start_epoch == 0:
             self.best_acc = evaluate()
