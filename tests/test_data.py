@@ -231,3 +231,15 @@ def test_adjacent_chars_augmentation():
                          adjacent_bank=jnp.asarray(bank))
     out2 = np.asarray(out2) * np.array(IMAGENET_STD) + np.array(IMAGENET_MEAN)
     assert (out2 > 0.99).all()
+
+
+def test_jp_charset_asset_ships():
+    """The CJK charset asset (japan_charsets/ role) is present, parses in
+    the reference's tab-separated format, and covers kana + kanji."""
+    from effocr_tpu.data.builtin_charsets import jp_charset_path
+    from effocr_tpu.data.charsets import load_chars
+
+    rows = load_chars(jp_charset_path())
+    chars = {r[-1] for r in rows}
+    assert len(chars) > 13000
+    assert {"あ", "ア", "漢", "字"} <= chars
