@@ -26,12 +26,19 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--recognizer_dir", type=str, required=True)
-    p.add_argument("--query_dir", type=str, required=True,
+    p.add_argument("--query_dir", type=str, default=None,
                    help="directory of query crop PNGs")
+    p.add_argument("--query_txt", type=str, default=None,
+                   help="text file listing query image paths "
+                        "(viz_effocr_recognizer.py --query_txt)")
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--num", type=int, default=50)
+    p.add_argument("--seed", type=int, default=111,
+                   help="query shuffle seed (reference default :36)")
     args = p.parse_args()
+    if not (args.query_dir or args.query_txt):
+        p.error("pass --query_dir or --query_txt")
 
     with open(os.path.join(args.recognizer_dir, "model.json")) as f:
         meta = json.load(f)
@@ -47,7 +54,14 @@ def main():
     from PIL import Image
 
     embed = jax.jit(lambda x: encoder.apply(variables, x, train=False))
-    queries = sorted(glob(os.path.join(args.query_dir, "*.png")))[: args.num]
+    if args.query_txt:
+        with open(args.query_txt) as f:
+            queries = f.read().split()
+    else:
+        queries = sorted(glob(os.path.join(args.query_dir, "*.png")))
+    # sample n at random, like the reference (:53-54)
+    np.random.default_rng(args.seed).shuffle(queries)
+    queries = queries[: args.num]
     for qp in queries:
         raw = np.asarray(Image.open(qp).convert("RGB"))
         x = paired_transform_host(raw, imsize)
@@ -61,11 +75,21 @@ def main():
                 for i in idx[0]
             ]
         stem = os.path.splitext(os.path.basename(qp))[0]
-        true_char = stem.split("_")[-2] if "_" in stem else None
-        if true_char and true_char.startswith("0x"):
-            true_char = chr(int(true_char, 16))
+        # ground truth from the filename: crops are {stem}_{annoid}_{hex}
+        # (data/coco.py extract_char_crops) and tree files are
+        # PAIRED_{stem}_{annoid}_{hex}_{idx} — the char is the LAST
+        # 0x-prefixed part either way
+        hex_parts = [s for s in stem.split("_") if s.startswith("0x")]
+        true_char = None
+        if hex_parts:
+            try:
+                true_char = chr(int(hex_parts[-1], 16))
+            except ValueError:
+                pass
         correct = (true_char == chars[0]) if true_char else None
-        name = f"{stem}_nn_{'-'.join(hex(ord(c)) for c in chars)}.png"
+        # matched flag in the filename, like the reference (:92-96)
+        name = (f"{stem}_{correct}_nn_"
+                f"{'-'.join(hex(ord(c)) for c in chars)}.png")
         save_knn_grid(raw, neighbors, os.path.join(args.out_dir, name),
                       correct=correct)
         print(f"{stem}: {''.join(chars)}")
