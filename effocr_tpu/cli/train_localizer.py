@@ -27,6 +27,11 @@ def main():
     p.add_argument("--image_dir", type=str, required=True)
     p.add_argument("--train_coco", type=str, required=True)
     p.add_argument("--val_coco", type=str, required=True)
+    p.add_argument("--test_coco", type=str, default=None,
+                   help="held-out test split: evaluated once with the "
+                        "best checkpoint after training (the reference's "
+                        "test_file registration, "
+                        "train_effocr_localizer_d2.py:113-118)")
     p.add_argument("--run_name", type=str, required=True)
     p.add_argument("--arch", type=str, default="yolov5s")
     p.add_argument("--num_classes", type=int, default=2)
@@ -164,6 +169,37 @@ def main():
             )
             print(f"epoch {epoch}: {result}")
         trainer.save("last")
+
+    if args.test_coco:
+        from effocr_tpu.eval.coco_map import coco_map
+        from effocr_tpu.train import checkpoint as ckpt
+
+        test_ds = DetectionDataset(
+            args.test_coco, args.image_dir, args.input_size,
+            input_height=max(h or args.input_size for h in heights))
+        # score the BEST checkpoint, not the last epoch
+        best = ckpt.best_checkpoint_path(args.run_name, "best_bbox_mAP")
+        if os.path.exists(best):
+            loaded = ckpt.load_variables(trainer.variables, best)
+            trainer.state["params"] = loaded["params"]
+            trainer.state["batch_stats"] = loaded.get("batch_stats", {})
+        preds, gts = [], []
+        for images, _, _, gt_list in test_ds.batches(
+                args.batch_size, shuffle=False, drop_last=False):
+            boxes, scores, classes, valid = trainer._infer_fn(
+                trainer.variables, jnp.asarray(images))
+            import numpy as _np
+
+            for i in range(len(gt_list)):
+                v = _np.asarray(valid[i])
+                preds.append({"boxes": _np.asarray(boxes[i])[v],
+                              "scores": _np.asarray(scores[i])[v],
+                              "classes": _np.asarray(classes[i])[v]})
+                gts.append(gt_list[i])
+        test_result = coco_map(preds, gts, num_classes=args.num_classes)
+        trainer.metrics.log(
+            {f"test/{k}": v for k, v in test_result.items()})
+        print(f"test: {test_result}")
 
 
 if __name__ == "__main__":
