@@ -148,6 +148,7 @@ def load_engine(args) -> EffOCRInference:
         crop_batch=args.crop_batch,
         adaptive_height=args.adaptive_height,
         crop_window=args.crop_window,
+        box_pad=args.box_pad,
     )
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -184,6 +185,10 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--localizer_iou_thresh", type=float, default=0.01)
     p.add_argument("--localizer_conf_thresh", type=float, default=0.35)
     p.add_argument("--anchor_margin", type=float, default=None)
+    p.add_argument("--box_pad", type=float, default=0.0,
+                   help="expand char boxes by this many canvas px along "
+                        "the reading axis before cropping (recovers "
+                        "glyph edges clipped by detector box jitter)")
     p.add_argument("--crop_source", type=str, default="letterbox",
                    choices=["letterbox", "original"])
     p.add_argument("--crop_window", type=int, default=256,

@@ -74,6 +74,14 @@ class PipelineConfig:
     max_words_per_line: int = 64
     anchor_margin: Optional[float] = None   # en_postprocess hyperparameter
     anchor_multiplier: float = 4.0
+    # expand char boxes by this many canvas pixels along the reading axis
+    # before cropping (x for horizontal, y for vertical).  Measured on the
+    # en demo corpus: 0 is optimal (0.5 px costs +10% relative CER, 1 px
+    # +84%) — the encoder/prototypes are trained on exact GT-box geometry,
+    # so padding shifts the crop distribution more than it recovers from
+    # box jitter.  Non-zero only makes sense for encoders trained with
+    # loose crops (e.g. heavy --crop_sim / affine augmentation).
+    box_pad: float = 0.0
     spell_check: bool = False
     # "word count" frequency list for the spell checker (the reference uses
     # symspell's bundled 82k list, utils/spell_check_utils.py:14-23); build

@@ -242,10 +242,11 @@ class EffOCRInference:
             left = content_meta[:, 1][flat_b]
             nh = content_meta[:, 2][flat_b]
             nw = content_meta[:, 3][flat_b]
-            rx0 = jnp.round(flat_boxes[:, 0]).astype(jnp.int32)
-            rx1 = jnp.round(flat_boxes[:, 2]).astype(jnp.int32)
-            ry0 = jnp.round(flat_boxes[:, 1]).astype(jnp.int32)
-            ry1 = jnp.round(flat_boxes[:, 3]).astype(jnp.int32)
+            pad = c.box_pad
+            rx0 = jnp.round(flat_boxes[:, 0] - pad).astype(jnp.int32)
+            rx1 = jnp.round(flat_boxes[:, 2] + pad).astype(jnp.int32)
+            ry0 = jnp.round(flat_boxes[:, 1] - pad).astype(jnp.int32)
+            ry1 = jnp.round(flat_boxes[:, 3] + pad).astype(jnp.int32)
             if c.vertical:
                 rects = jnp.stack([left, ry0, left + nw, ry1], axis=1)
             else:
@@ -754,13 +755,15 @@ class EffOCRInference:
                 if c.crop_source == "letterbox":
                     if c.vertical:
                         rect = [
-                            meta["left"], int(round(b[1])),
-                            meta["left"] + meta["new_w"], int(round(b[3])),
+                            meta["left"], int(round(b[1] - c.box_pad)),
+                            meta["left"] + meta["new_w"],
+                            int(round(b[3] + c.box_pad)),
                         ]
                     else:
                         rect = [
-                            int(round(b[0])), meta["top"],
-                            int(round(b[2])), meta["top"] + meta["new_h"],
+                            int(round(b[0] - c.box_pad)), meta["top"],
+                            int(round(b[2] + c.box_pad)),
+                            meta["top"] + meta["new_h"],
                         ]
                     all_rects.append(rect)
                     all_img_idx.append(i)
@@ -774,13 +777,18 @@ class EffOCRInference:
                     # lines are width-bound, so left==0 and r==canvas_w/w
                     # and the two formulas agree digit-for-digit there).
                     raw = chunk[i]
+                    pad = c.box_pad
                     if c.vertical:
-                        y0 = round((round(b[1]) - meta["top"]) / meta["r"])
-                        y1 = round((round(b[3]) - meta["top"]) / meta["r"])
+                        y0 = round((round(b[1] - pad) - meta["top"])
+                                   / meta["r"])
+                        y1 = round((round(b[3] + pad) - meta["top"])
+                                   / meta["r"])
                         crop = raw[max(int(y0), 0):max(int(y1), 0), :, :]
                     else:
-                        x0 = round((round(b[0]) - meta["left"]) / meta["r"])
-                        x1 = round((round(b[2]) - meta["left"]) / meta["r"])
+                        x0 = round((round(b[0] - pad) - meta["left"])
+                                   / meta["r"])
+                        x1 = round((round(b[2] + pad) - meta["left"])
+                                   / meta["r"])
                         crop = raw[:, max(int(x0), 0):max(int(x1), 0), :]
                     if crop.size == 0:
                         crop = np.zeros((4, 4, 3), np.uint8)

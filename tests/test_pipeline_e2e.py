@@ -428,6 +428,35 @@ def test_pipeline_adaptive_canvas_height(engine_parts):
         assert results[i] == t, (tier, results[i], t)
 
 
+def test_pipeline_box_pad(engine_parts):
+    """box_pad plumbs through the fused path; pad 0 matches default, and
+    a huge pad changes crops (merging neighbors) without crashing."""
+    encoder, enc_vars, index = engine_parts
+    texts = ["AbX oT"]
+    lines = [make_line(t) for t in texts]
+    imgs = [l[0] for l in lines]
+    lb_chars = [to_letterbox_space(l[1], i.shape[0], i.shape[1])
+                for l, i in zip(lines, imgs)]
+    lb_words = [to_letterbox_space(l[2], i.shape[0], i.shape[1])
+                for l, i in zip(lines, imgs)]
+    decoded = make_decoded_predictions(lb_chars, lb_words, [None])
+
+    def run(pad):
+        cfg = PipelineConfig(
+            lang="en",
+            localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                      max_det=64, max_nms=64),
+            encoder=EncoderConfig(arch="tiny"),
+            line_batch=1, crop_batch=32, box_pad=pad,
+        )
+        return EffOCRInference(cfg, StubLocalizer(decoded), {}, encoder,
+                               enc_vars, index).run(imgs)
+
+    assert run(0.0)[0] == texts[0]
+    out = run(40.0)[0]          # merges neighbor glyphs into each crop
+    assert isinstance(out, str) and out != texts[0]
+
+
 def test_pipeline_mesh_data_parallel_matches_single(engine_parts):
     """Data-parallel fused inference over a 2-device mesh (jax.shard_map,
     lines sharded over 'data') produces the exact results of the
