@@ -74,6 +74,10 @@ def main():
     p.add_argument("--crop_sim", type=float, default=0.0,
                    help="p of warping a render into paired-crop geometry "
                         "(scale 0.45-0.85, edge-anchored) during aug")
+    p.add_argument("--paired_jitter", type=float, default=0.0,
+                   help="p of a small affine jitter on paired crops "
+                        "(simulated detector box jitter -> crop-geometry "
+                        "invariance; reference never augments crops)")
     p.add_argument("--adjacent_font_path", type=str, default=None,
                    help="font file enabling the AddAdjacentChars neighbor-"
                         "glyph augmentation (reference defines it unwired; "
@@ -118,6 +122,7 @@ def main():
         aux_lr_mult=args.aux_lr_mult, ref_source=args.ref_source,
         centroid_cap=args.centroid_cap, eval_period_epochs=args.eval_period,
         adam_b2=args.adam_b2, crop_sim=args.crop_sim,
+        paired_jitter=args.paired_jitter,
         adjacent_font_path=args.adjacent_font_path,
         data_device=args.data_device,
     )

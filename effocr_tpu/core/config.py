@@ -207,6 +207,12 @@ class RecognizerTrainConfig:
     # the render->crop distribution gap for classes with no paired data
     # (data/transforms.py augment_batch crop_sim).  0 disables.
     crop_sim: float = 0.0
+    # per-sample probability of a small affine jitter on PAIRED crops
+    # (scale 0.94-1.06, translate ±5%) — simulates inference-time detector
+    # box jitter so the encoder learns invariance to it (the box_pad sweep
+    # showed exact-geometry sensitivity is the en residual).  0 disables
+    # (reference behavior: paired crops are never augmented).
+    paired_jitter: float = 0.0
     # Font file for the AddAdjacentChars neighbor-glyph augmentation
     # (utils/datasets_utils.py:93-144 — defined but unwired in the
     # reference; opt-in here).  None disables.  The font is rendered once

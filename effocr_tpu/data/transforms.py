@@ -185,7 +185,7 @@ def _per_sample_apply(p: float, key: jax.Array, x_new: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("lang", "high_blur", "no_aug",
-                                   "crop_sim"))
+                                   "crop_sim", "paired_jitter"))
 def augment_batch(
     images_u8: jnp.ndarray,
     is_paired: jnp.ndarray,
@@ -195,6 +195,7 @@ def augment_batch(
     no_aug: bool = False,
     crop_sim: float = 0.0,
     adjacent_bank: Optional[jnp.ndarray] = None,
+    paired_jitter: float = 0.0,
 ) -> jnp.ndarray:
     """uint8 [B,S,S,3] white-padded squares -> normalized float32 crops.
 
@@ -211,7 +212,7 @@ def augment_batch(
 
     plain = x
     b, size = x.shape[0], x.shape[1]
-    keys = jax.random.split(key, 18)
+    keys = jax.random.split(key, 19)
 
     if adjacent_bank is not None:
         x = _compose_adjacent(x, adjacent_bank, keys[17], lang)
@@ -296,6 +297,24 @@ def augment_batch(
         0.2, keys[11], jnp.broadcast_to(_rgb_to_gray(x), x.shape), x
     )
 
-    # paired crops bypass augmentation entirely
-    x = jnp.where(is_paired[:, None, None, None], plain, x)
+    # paired crops bypass the render augmentation stack.  Optionally they
+    # get a SMALL affine jitter instead (paired_jitter = per-sample
+    # probability): detected boxes at inference jitter by ~a pixel around
+    # the GT geometry the crops were cut with, and the box_pad sweep
+    # (BENCH_ACCURACY.md) shows the encoder is sensitive to exactly that
+    # mismatch — training with simulated jitter buys invariance the clean
+    # paired transform cannot.
+    paired_x = plain
+    if paired_jitter > 0.0:
+        pk = jax.random.split(keys[18], 4)
+        js = jax.random.uniform(pk[0], (b,), minval=0.94, maxval=1.06)
+        jtx = jax.random.uniform(pk[1], (b,), minval=-0.05,
+                                 maxval=0.05) * size
+        jty = jax.random.uniform(pk[2], (b,), minval=-0.05,
+                                 maxval=0.05) * size
+        p_y, p_x = _affine_matrix(size, js, jtx, jty)
+        paired_x = _per_sample_apply(
+            paired_jitter, pk[3], _apply_affine(plain, p_y, p_x), plain
+        )
+    x = jnp.where(is_paired[:, None, None, None], paired_x, x)
     return normalize_imagenet(x)

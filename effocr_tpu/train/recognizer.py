@@ -71,6 +71,7 @@ def make_train_step(model, cfg: RecognizerTrainConfig, tx,
             images_u8, is_paired, key, lang=cfg.lang,
             high_blur=cfg.high_blur, no_aug=cfg.no_aug,
             crop_sim=cfg.crop_sim, adjacent_bank=adjacent_bank,
+            paired_jitter=getattr(cfg, "paired_jitter", 0.0),
         )
 
     def body(state, x, targets, key):

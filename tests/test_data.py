@@ -243,3 +243,31 @@ def test_jp_charset_asset_ships():
     chars = {r[-1] for r in rows}
     assert len(chars) > 13000
     assert {"あ", "ア", "漢", "字"} <= chars
+
+
+def test_paired_jitter_augmentation():
+    """paired_jitter applies a small affine to PAIRED crops only; 0 keeps
+    the reference's clean paired transform."""
+    import jax
+    import jax.numpy as jnp
+
+    from effocr_tpu.data.transforms import augment_batch
+
+    size = 64
+    img = np.full((size, size, 3), 255, np.uint8)
+    img[8 : size - 8, 8 : size - 8] = 0
+    batch = jnp.asarray(np.stack([img, img]))
+    paired = jnp.asarray(np.array([True, True]))
+
+    base = np.asarray(augment_batch(batch, paired, jax.random.PRNGKey(0)))
+    jit0 = np.asarray(augment_batch(batch, paired, jax.random.PRNGKey(0),
+                                    paired_jitter=0.0))
+    np.testing.assert_array_equal(base, jit0)
+
+    jit1 = np.asarray(augment_batch(batch, paired, jax.random.PRNGKey(0),
+                                    paired_jitter=1.0))
+    assert not np.array_equal(base, jit1)
+    # the jitter is SMALL: content moves a few px, not wholesale
+    dark = (jit1[0].mean(-1) < jit1[0].mean()) 
+    rows = np.where(dark.any(axis=1))[0]
+    assert abs(int(rows[0]) - 8) <= 6
