@@ -48,19 +48,27 @@ def nms_mask(
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_thresh: float,
+    presorted: bool = False,
 ) -> jnp.ndarray:
     """Greedy-NMS keep mask, same order as inputs.
 
     boxes [N,4] xyxy (already class-offset if per-class), scores [N],
-    valid [N] bool.  Inputs need NOT be sorted.
+    valid [N] bool.  Inputs need NOT be sorted unless ``presorted``:
+    then the caller guarantees valid boxes appear in descending-score,
+    index-ascending-tie order (exactly what lax.top_k emits) and the two
+    rank argsorts are skipped — sorts are the expensive primitive on TPU,
+    and the fused pipeline calls this on [B, max_nms] every chunk.
     """
     n = boxes.shape[0]
-    score_key = jnp.where(valid, scores, NEG_INF)
-    # Rank: position of each box in score-descending order, with stable index
-    # tie-break (matches torch sort semantics closely enough: equal scores
-    # keep input order).
-    order = jnp.argsort(-score_key, stable=True)
-    rank = jnp.argsort(order, stable=True)  # rank[i] = position of box i
+    if presorted:
+        rank = jnp.arange(n, dtype=jnp.int32)
+    else:
+        score_key = jnp.where(valid, scores, NEG_INF)
+        # Rank: position of each box in score-descending order, with stable
+        # index tie-break (matches torch sort semantics closely enough:
+        # equal scores keep input order).
+        order = jnp.argsort(-score_key, stable=True)
+        rank = jnp.argsort(order, stable=True)  # rank[i] = position of box i
 
     iou = pairwise_iou(boxes)
     outranks = rank[:, None] < rank[None, :]  # i outranks j
@@ -89,7 +97,8 @@ def nms_mask(
     return kept
 
 
-@partial(jax.jit, static_argnames=("iou_thresh", "max_det", "class_agnostic"))
+@partial(jax.jit, static_argnames=("iou_thresh", "max_det", "class_agnostic",
+                                   "presorted"))
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -98,12 +107,19 @@ def batched_nms(
     iou_thresh: float,
     max_det: int,
     class_agnostic: bool = False,
+    presorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-image NMS over a batch, fixed output [B, max_det, ...].
 
     boxes [B,N,4], scores [B,N], classes [B,N] (int), valid [B,N].
     Returns (boxes [B,max_det,4], scores [B,max_det], classes [B,max_det],
     valid [B,max_det]), score-sorted, padded slots have valid=False.
+
+    ``presorted`` (see nms_mask): additionally replaces the top_k
+    compaction of kept boxes with a cumsum+scatter stable compaction —
+    kept boxes in input order are already score-sorted, so the result is
+    identical without another [N]-sort per image.  Box/class values in
+    valid=False slots are unspecified in both modes (consumers mask).
     """
 
     n = boxes.shape[1]
@@ -111,7 +127,20 @@ def batched_nms(
 
     def _one(b, s, c, v):
         offset = 0.0 if class_agnostic else c.astype(b.dtype)[:, None] * MAX_WH
-        keep = nms_mask(b + offset, s, v, iou_thresh)
+        keep = nms_mask(b + offset, s, v, iou_thresh, presorted=presorted)
+        if presorted:
+            pos = jnp.cumsum(keep) - 1  # position among kept, input order
+            n_kept = pos[-1] + 1
+            idx = jnp.zeros((max_det,), jnp.int32).at[
+                jnp.where(keep, pos, max_det)
+            ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+            out_valid = jnp.arange(max_det) < jnp.minimum(n_kept, max_det)
+            return (
+                jnp.take(b, idx, axis=0),
+                jnp.where(out_valid, jnp.take(s, idx), 0.0),
+                jnp.take(c, idx, axis=0),
+                out_valid,
+            )
         key = jnp.where(keep, s, NEG_INF)
         top_scores, idx = jax.lax.top_k(key, k_eff)
         if k_eff < max_det:

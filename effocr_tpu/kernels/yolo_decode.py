@@ -73,6 +73,10 @@ def decode_and_nms(
     classes = jnp.take_along_axis(cls, idx, axis=1)
     scores = jnp.where(valid, top_conf, 0.0)
 
+    # top_k emits descending-score, index-ascending-tie order, which is
+    # exactly batched_nms's presorted contract — skips three more
+    # [B, max_nms] sorts inside the NMS (sorts dominate this stage on TPU).
     return batched_nms(
-        boxes, scores, classes, valid, iou_thresh, max_det, class_agnostic
+        boxes, scores, classes, valid, iou_thresh, max_det, class_agnostic,
+        presorted=True,
     )

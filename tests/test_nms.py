@@ -129,3 +129,49 @@ def test_batched_nms_output_sorted_and_padded(rng):
     nk = int(v.sum())
     assert v[:nk].all() and not v[nk:].any()
     assert (np.diff(s[:nk]) <= 1e-6).all()
+
+
+@pytest.mark.parametrize("iou_thresh", [0.01, 0.45])
+def test_batched_nms_presorted_matches_default(rng, iou_thresh):
+    """presorted mode (iota ranks + cumsum/scatter compaction) is exact:
+    identical valid-slot outputs to the sort-based default on inputs in
+    top_k order (descending score, index-ascending ties, valid prefix)."""
+    bsz, n = 3, 96
+    boxes_l, scores_l, classes_l, valid_l = [], [], [], []
+    for _ in range(bsz):
+        nv = int(rng.integers(5, n))
+        sc = np.sort(rng.uniform(0.1, 1.0, nv).astype(np.float32))[::-1]
+        sc[1::7] = sc[0::7][: len(sc[1::7])]  # inject score ties
+        sc = np.sort(sc)[::-1]
+        scores_l.append(np.concatenate([sc, np.zeros(n - nv, np.float32)]))
+        boxes_l.append(random_boxes(rng, n))
+        classes_l.append((rng.uniform(size=n) < 0.2).astype(np.int32))
+        v = np.zeros(n, bool)
+        v[:nv] = True
+        valid_l.append(v)
+    args = (
+        jnp.asarray(np.stack(boxes_l)), jnp.asarray(np.stack(scores_l)),
+        jnp.asarray(np.stack(classes_l)), jnp.asarray(np.stack(valid_l)),
+    )
+    for max_det in (8, 64, 128):
+        ref = batched_nms(*args, iou_thresh=iou_thresh, max_det=max_det)
+        got = batched_nms(*args, iou_thresh=iou_thresh, max_det=max_det,
+                          presorted=True)
+        vref, vgot = np.asarray(ref[3]), np.asarray(got[3])
+        np.testing.assert_array_equal(vref, vgot)
+        for r, g in zip(ref[:3], got[:3]):
+            np.testing.assert_array_equal(
+                np.asarray(r)[vref], np.asarray(g)[vref]
+            )
+
+
+def test_nms_mask_presorted_matches_default(rng):
+    n = 40
+    boxes = random_boxes(rng, n)
+    scores = np.sort(rng.uniform(0.1, 1.0, n).astype(np.float32))[::-1].copy()
+    valid = np.ones(n, bool)
+    a = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.3))
+    b = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.3, presorted=True))
+    np.testing.assert_array_equal(a, b)
