@@ -149,6 +149,7 @@ def load_engine(args) -> EffOCRInference:
         adaptive_height=args.adaptive_height,
         crop_window=args.crop_window,
         box_pad=args.box_pad,
+        tile_min_content_h=args.tile_min_h,
     )
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -189,6 +190,12 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="expand char boxes by this many canvas px along "
                         "the reading axis before cropping (recovers "
                         "glyph edges clipped by detector box jitter)")
+    p.add_argument("--tile_min_h", type=int, default=0,
+                   help="wide-line tiling: split lines whose letterboxed "
+                        "content height (width if --vertical) would fall "
+                        "below this many px into overlapping tiles and "
+                        "merge the decodes (0 = off; the reference "
+                        "simply loses resolution on such lines)")
     p.add_argument("--crop_source", type=str, default="letterbox",
                    choices=["letterbox", "original"])
     p.add_argument("--crop_window", type=int, default=256,

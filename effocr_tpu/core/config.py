@@ -145,6 +145,18 @@ class PipelineConfig:
     # finish dispatching k+1 AND start prepping k+2 instead of idling
     # (depth 4 is within noise of 3 — diminishing returns).
     prefetch_chunks: int = 3
+    # Wide-line tiling (pipelines/tiling.py): when > 0, a line whose
+    # letterboxed content height (width, if vertical) would fall below
+    # this many px is split into overlapping tiles that each letterbox at
+    # a readable scale; per-tile decodes are merged by ownership span.
+    # The reference has no equivalent — extreme-aspect lines just lose
+    # resolution (localizer_engine.py:107-138).  0 disables (default:
+    # identical behavior to the reference).  Fused letterbox-crop paths.
+    tile_min_content_h: int = 0
+    # overlap between consecutive tiles = factor * line height (width if
+    # vertical); must exceed ~2 glyph widths so every boundary glyph is
+    # fully visible in the tile that owns it
+    tile_overlap_factor: float = 2.0
 
 
 @dataclass(frozen=True)

@@ -450,6 +450,41 @@ class EffOCRInference:
         else:
             raws = [self._load_image(img) for img in images]
 
+        # wide-line tiling: split extreme-aspect lines into overlapping
+        # windows (each rides the pipeline as a normal line; per-tile
+        # decodes merge by ownership span in _finalize_tiled)
+        tile_ctx = None
+        if c.tile_min_content_h > 0 and c.crop_source == "letterbox":
+            from effocr_tpu.pipelines.tiling import TileKey, plan_tiles
+
+            size_w = c.localizer.input_size
+            cap_h = c.localizer.input_height or size_w
+            exp_raws, exp_keys, tile_ctx = [], [], {}
+            for key, raw in zip(keys, raws):
+                h, w = raw.shape[:2]
+                if c.vertical:
+                    plan = plan_tiles(h, w, cap_h, size_w,
+                                      c.tile_min_content_h,
+                                      c.tile_overlap_factor)
+                else:
+                    plan = plan_tiles(w, h, size_w, cap_h,
+                                      c.tile_min_content_h,
+                                      c.tile_overlap_factor)
+                if not plan:
+                    exp_raws.append(raw)
+                    exp_keys.append(key)
+                    continue
+                tile_ctx[key] = {"n": len(plan), "plan": plan, "h": h,
+                                 "w": w, "parts": {}}
+                for t, tile in enumerate(plan):
+                    sub = (raw[tile.start : tile.stop] if c.vertical
+                           else raw[:, tile.start : tile.stop])
+                    exp_raws.append(np.ascontiguousarray(sub))
+                    exp_keys.append(TileKey(key, t))
+            raws, keys = exp_raws, exp_keys
+            if not tile_ctx:
+                tile_ctx = None
+
         # software-pipelined two ways: (1) jax dispatch is async, so the
         # device runs chunk k while the host post-processes k-1; (2) host
         # prep (letterbox + transfer) of chunk k+1 runs on a worker thread,
@@ -469,12 +504,23 @@ class EffOCRInference:
                 )
                 if len(pending) >= max(c.prefetch_chunks, 1):
                     self._finish_chunk(
-                        pending.popleft().result(), results, coco_boxes
+                        pending.popleft().result(), results, coco_boxes,
+                        tile_ctx,
                     )
             while pending:
                 self._finish_chunk(
-                    pending.popleft().result(), results, coco_boxes
+                    pending.popleft().result(), results, coco_boxes,
+                    tile_ctx,
                 )
+
+        if tile_ctx:
+            for parent, ctx in tile_ctx.items():
+                if parent not in results:
+                    logger.warning(
+                        "tiled line %r: merged with %d/%d tiles decoded",
+                        parent, len(ctx["parts"]), ctx["n"],
+                    )
+                    self._finalize_tiled(parent, ctx, results, coco_boxes)
 
         if return_coco:
             return results, build_inference_coco(coco_boxes)
@@ -704,9 +750,10 @@ class EffOCRInference:
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                     fused_out=fused_out)
 
-    def _finish_chunk(self, handle, results, coco_boxes) -> None:
+    def _finish_chunk(self, handle, results, coco_boxes,
+                      tile_ctx=None) -> None:
         if "fused_out" in handle:
-            return self._finish_fused(handle, results, coco_boxes)
+            return self._finish_fused(handle, results, coco_boxes, tile_ctx)
         c = self.config
         chunk = handle["chunk"]
         chunk_keys = handle["chunk_keys"]
@@ -853,7 +900,8 @@ class EffOCRInference:
         worddict, vsim, abbrevs = default_dicts(self.config.spell_check_dict)
         return visual_spell_checker(out, worddict, vsim, abbrevs)
 
-    def _finish_fused(self, handle, results, coco_boxes) -> None:
+    def _finish_fused(self, handle, results, coco_boxes,
+                      tile_ctx=None) -> None:
         """Host side of the fused path: one device_get, then pure-Python
         word boundaries + postprocess.  Under a data mesh the buffer is
         [n_shards, out_len] — one independent packed segment per device's
@@ -875,7 +923,7 @@ class EffOCRInference:
                 break
             leftover = self._finish_fused_segment(
                 segs[d], chunk[lo : lo + n_d], chunk_keys[lo : lo + n_d],
-                metas[lo : lo + n_d], ld, results, coco_boxes,
+                metas[lo : lo + n_d], ld, results, coco_boxes, tile_ctx,
             )
             if leftover is not None:
                 left_chunk.extend(leftover[0])
@@ -883,11 +931,11 @@ class EffOCRInference:
         if left_chunk:
             self._finish_chunk(
                 self._dispatch_chunk(left_chunk, left_keys),
-                results, coco_boxes,
+                results, coco_boxes, tile_ctx,
             )
 
     def _finish_fused_segment(self, buf, chunk, chunk_keys, metas, nb,
-                              results, coco_boxes):
+                              results, coco_boxes, tile_ctx=None):
         """Decode one device's packed segment (nb line slots, len(chunk)
         real lines).  Returns (lines, keys) to re-dispatch on crop-slot
         overflow, else None."""
@@ -948,12 +996,54 @@ class EffOCRInference:
         else:
             decode = lambda j: self.index.chars[int(j)]
 
+        from effocr_tpu.pipelines.tiling import TileKey
+
         pos = 0
         for i in range(n):
             k = int(n_chars[i])
             boxes_i = flat_boxes[pos : pos + k]
             chars_i = [decode(j) for j in nn_idx[pos : pos + k]]
             pos += k
+
+            if tile_ctx is not None and isinstance(chunk_keys[i], TileKey):
+                # tile of a wide line: stash the decode in parent
+                # coordinates; text assembly happens at merge time
+                key_i = chunk_keys[i]
+                ctx = tile_ctx[key_i.parent]
+                meta = metas[i]
+                ax = 1 if c.vertical else 0
+                off = np.zeros(4, np.float32)
+                off[[ax, ax + 2]] = ctx["plan"][key_i.index].start
+
+                def to_parent(cb):
+                    ob = np.empty_like(cb, dtype=np.float32)
+                    ob[:, [0, 2]] = np.clip(
+                        (cb[:, [0, 2]] - meta["left"]) / meta["r"],
+                        0, meta["w"],
+                    )
+                    ob[:, [1, 3]] = np.clip(
+                        (cb[:, [1, 3]] - meta["top"]) / meta["r"],
+                        0, meta["h"],
+                    )
+                    return ob + off
+
+                part_words = np.zeros((0, 4), np.float32)
+                if c.lang == "en" and k:
+                    wv = word_valid[i]
+                    if wv.any():
+                        part_words = to_parent(word_boxes[i][wv])
+                ctx["parts"][key_i.index] = {
+                    "chars": chars_i,
+                    "boxes": to_parent(boxes_i) if k else
+                             np.zeros((0, 4), np.float32),
+                    "words": part_words,
+                }
+                if len(ctx["parts"]) == ctx["n"]:
+                    self._finalize_tiled(
+                        key_i.parent, ctx, results, coco_boxes
+                    )
+                continue
+
             heights = (boxes_i[:, 3] - boxes_i[:, 1]).tolist()
             bottoms = boxes_i[:, 3].tolist()
             text = "".join(x[0] for x in chars_i if x).strip() if k else ""
@@ -992,6 +1082,47 @@ class EffOCRInference:
             }
 
         return leftover
+
+    def _finalize_tiled(self, parent, ctx, results, coco_boxes) -> None:
+        """Merge a wide line's per-tile decodes (ownership spans + jitter
+        dedup, pipelines/tiling.py) and run the normal line postprocess on
+        the merged char/word stream in parent-pixel coordinates."""
+        c = self.config
+        from effocr_tpu.pipelines.tiling import merge_tile_parts
+
+        empty = {"chars": [], "boxes": np.zeros((0, 4), np.float32),
+                 "words": np.zeros((0, 4), np.float32)}
+        parts = [ctx["parts"].get(t, empty) for t in range(ctx["n"])]
+        cross = ctx["w"] if c.vertical else ctx["h"]
+        margin = max(2.0, 0.05 * cross)
+        chars, boxes, words = merge_tile_parts(
+            parts, ctx["plan"], c.vertical, margin
+        )
+        text = "".join(x[0] for x in chars if x).strip()
+        if c.lang == "en" and len(chars):
+            _, word_end_idx = en_preprocess(
+                boxes.tolist(), words.tolist(), vertical=c.vertical
+            )
+            out = en_postprocess(
+                text, word_end_idx,
+                (boxes[:, 3] - boxes[:, 1]).tolist(),
+                boxes[:, 3].tolist(),
+                anchor_margin=c.anchor_margin,
+                anchor_multiplier=c.anchor_multiplier,
+            )
+        else:
+            out = text
+        if c.spell_check and out:
+            out = self._spell_check(out)
+        results[parent] = out
+        coco_boxes[parent] = {
+            "width": ctx["w"], "height": ctx["h"], "text": out,
+            "chars": [
+                {"bbox": [b[0], b[1], b[2] - b[0], b[3] - b[1]],
+                 "char": ch[0] if ch else ""}
+                for b, ch in zip(boxes.tolist(), chars)
+            ],
+        }
 
     def _recognize_crops(self, total, all_rects, all_img_idx, host_crops,
                          imgs_dev) -> np.ndarray:

@@ -51,6 +51,12 @@ log "train-localizer --augment smoke (20 epochs)"
   --input_size 320 --batch_size 8 --num_epochs 20 --eval_period 5 \
   --data_device resident --augment)
 
+# 5b. NEW: stage-isolation microbench (attributes fused-program latency;
+#     decode+NMS now runs the sort-free presorted path — compare vs the
+#     round-2 profile: detector 31 / decode+NMS 30 / encoder 34 ms)
+log "nms_microbench"
+timeout 3600 python scripts/nms_microbench.py 256
+
 # ---- optional longer runs (CER pushes), in priority order ------------
 # 6. --augment full A/B vs loc_rect's recipe (AP at matched epochs)
 # 7. convnext_tiny encoder on the en corpus (CER push vs atto's 0.0585)

@@ -512,3 +512,64 @@ def test_prototype_index_roundtrip_whitespace_chars(tmp_path):
     loaded = PrototypeIndex.load(str(tmp_path))
     assert loaded.chars == chars
     assert loaded.embeddings.shape == (4, 8)
+
+
+def test_pipeline_wide_line_tiling(engine_parts):
+    """A line too wide for the canvas decodes exactly when tiled: the
+    pipeline splits it into overlapping windows, each window rides the
+    fused path as a normal line, and the per-tile decodes merge by
+    ownership span (pipelines/tiling.py).  The stub detector sees each
+    tile's GT boxes (clipped at the cuts, duplicated in the overlaps),
+    so the test exercises ownership filtering and cross-tile dedup."""
+    from effocr_tpu.pipelines.tiling import plan_tiles
+
+    encoder, enc_vars, index = engine_parts
+    text = "AbXoTk XoTkAb TkAbXo oTkAbX bAXoTk kToXbA AbXoTk XoTkAb"
+    img, boxes, words = make_line(text)
+    h, w = img.shape[:2]
+    min_h = 48
+    plan = plan_tiles(w, h, 640, 640, min_h)
+    assert plan is not None and len(plan) >= 2, (w, h)
+
+    # per-tile stub predictions: GT boxes intersecting the tile, shifted
+    # and clipped to the tile, in the tile's letterbox space
+    tile_char_boxes, tile_word_boxes = [], []
+    for t in plan:
+        tw = t.stop - t.start
+
+        def in_tile(bs):
+            out = []
+            for x0, y0, x1, y1 in bs:
+                cx0 = max(x0 - t.start, 0)
+                cx1 = min(x1 - t.start, tw)
+                if cx1 - cx0 > 2:
+                    out.append([cx0, y0, cx1, y1])
+            return out
+
+        tile_char_boxes.append(
+            to_letterbox_space(in_tile(boxes), h, tw)
+        )
+        tile_word_boxes.append(
+            to_letterbox_space(in_tile(words), h, tw)
+        )
+    decoded = make_decoded_predictions(
+        tile_char_boxes, tile_word_boxes, [None] * len(plan)
+    )
+
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                  max_det=64, max_nms=64),
+        encoder=EncoderConfig(arch="tiny"),
+        line_batch=len(plan),
+        crop_batch=64 * len(plan),
+        tile_min_content_h=min_h,
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results, coco = engine.run([img], return_coco=True)
+    assert results[0] == text, (results[0], text)
+    # merged coco boxes: one per char, in parent coordinates
+    ents = coco["images"]
+    assert len(ents) == 1 and ents[0]["width"] == w
