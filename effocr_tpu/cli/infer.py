@@ -195,7 +195,8 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                         "content height (width if --vertical) would fall "
                         "below this many px into overlapping tiles and "
                         "merge the decodes (0 = off; the reference "
-                        "simply loses resolution on such lines)")
+                        "simply loses resolution on such lines). "
+                        "Fused paths only (--crop_source letterbox)")
     p.add_argument("--crop_source", type=str, default="letterbox",
                    choices=["letterbox", "original"])
     p.add_argument("--crop_window", type=int, default=256,

@@ -454,6 +454,12 @@ class EffOCRInference:
         # windows (each rides the pipeline as a normal line; per-tile
         # decodes merge by ownership span in _finalize_tiled)
         tile_ctx = None
+        if c.tile_min_content_h > 0 and c.crop_source != "letterbox":
+            logger.warning(
+                "tile_min_content_h=%d ignored: wide-line tiling needs "
+                "crop_source='letterbox' (got %r)",
+                c.tile_min_content_h, c.crop_source,
+            )
         if c.tile_min_content_h > 0 and c.crop_source == "letterbox":
             from effocr_tpu.pipelines.tiling import TileKey, plan_tiles
 

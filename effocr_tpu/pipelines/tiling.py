@@ -65,7 +65,7 @@ def plan_tiles(
     tile_len = int(canvas_main / r_t)
     if tile_len >= length:
         return None
-    overlap = min(int(overlap_factor * cross), tile_len // 2)
+    overlap = min(max(int(overlap_factor * cross), 0), tile_len // 2)
     stride = max(tile_len - overlap, 1)
     n = 1 + math.ceil((length - tile_len) / stride)
     starts = sorted({min(i * stride, length - tile_len) for i in range(n)})
@@ -83,12 +83,9 @@ def plan_tiles(
 
 
 def _iou(a: np.ndarray, b: np.ndarray) -> float:
-    lt = np.maximum(a[:2], b[:2])
-    rb = np.minimum(a[2:], b[2:])
-    wh = np.clip(rb - lt, 0, None)
-    inter = wh[0] * wh[1]
-    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
-    return float(inter / (ua + 1e-7))
+    from effocr_tpu.eval.coco_map import _iou_matrix
+
+    return float(_iou_matrix(a[None], b[None])[0, 0])
 
 
 def merge_tile_parts(

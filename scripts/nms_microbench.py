@@ -2,8 +2,7 @@
 
 Times (on whatever backend jax picks): detector forward, decode+NMS at a
 sweep of max_nms sizes, the reading-order argsort, ROI crops, and encoder
-sub-batches — each jitted standalone with donated inputs and
-block_until_ready timing.  Use to attribute the fused program's latency
+sub-batches — each jitted standalone, timed with block_until_ready.  Use to attribute the fused program's latency
 before optimizing any single stage (DESIGN.md round-2 profile: detector
 31 ms / decode+NMS 30 ms / encoder 34 ms / crops+sort+retrieval 10 ms at
 line_batch=256, max_nms=1024 on the relay-attached v5e chip).
@@ -11,6 +10,7 @@ line_batch=256, max_nms=1024 on the relay-attached v5e chip).
 Run:  python scripts/nms_microbench.py [line_batch]
 """
 
+import math
 import sys
 import time
 
@@ -125,7 +125,7 @@ def main():
     )
     crops = cr(imgs, jnp.asarray(rects), jnp.asarray(flat_b))
     crops = jax.block_until_ready(crops)
-    sub = 2048
+    sub = math.gcd(n_crops, 2048)  # largest pow2 sub-batch dividing n_crops
     enc = jax.jit(
         lambda x: jax.lax.map(
             lambda s: encoder.apply(enc_vars, s, train=False),
