@@ -573,3 +573,56 @@ def test_pipeline_wide_line_tiling(engine_parts):
     # merged coco boxes: one per char, in parent coordinates
     ents = coco["images"]
     assert len(ents) == 1 and ents[0]["width"] == w
+
+
+def test_pipeline_tall_vertical_tiling(engine_parts):
+    """Vertical variant of wide-line tiling: a vertical line far taller
+    than the canvas splits into y-axis tiles and merges exactly."""
+    from effocr_tpu.pipelines.tiling import plan_tiles
+
+    encoder, enc_vars, _ = engine_parts
+    embed = jax.jit(lambda x: encoder.apply(enc_vars, x, train=False))
+    protos = []
+    for c in CHARS:
+        vimg, vboxes = make_vertical_line(c)
+        _, y0, _, y1 = vboxes[0]
+        protos.append(paired_transform_host(vimg[y0:y1, :]))
+    index = PrototypeIndex(
+        np.asarray(embed(jnp.asarray(np.stack(protos)))), CHARS
+    )
+
+    # XoTk only: the toy encoder can't split A/b on vertical full-width
+    # crop geometry even untiled — keep the test about tiling, not it
+    text = "XoTk" * 11  # ~2,400 px tall at char_h=48
+    img, boxes = make_vertical_line(text)
+    h, w = img.shape[:2]
+    min_w = 48
+    plan = plan_tiles(h, w, 640, 640, min_w)
+    assert plan is not None and len(plan) >= 2, (h, w)
+
+    tile_boxes = []
+    for t in plan:
+        th = t.stop - t.start
+        sub = []
+        for x0, y0, x1, y1 in boxes:
+            cy0 = max(y0 - t.start, 0)
+            cy1 = min(y1 - t.start, th)
+            if cy1 - cy0 > 2:
+                sub.append([x0, cy0, x1, cy1])
+        tile_boxes.append(to_letterbox_space(sub, th, w))
+    decoded = make_decoded_predictions(
+        tile_boxes, [[]] * len(plan), [None] * len(plan), nc=1
+    )
+
+    cfg = PipelineConfig(
+        lang="jp", vertical=True,
+        localizer=LocalizerConfig(num_classes=1, conf_thresh=0.35,
+                                  iou_thresh=0.1, max_det=64, max_nms=64),
+        line_batch=len(plan), crop_batch=64 * len(plan),
+        tile_min_content_h=min_w,
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run([img])
+    assert results[0] == text, (results[0], text)
