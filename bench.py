@@ -90,8 +90,17 @@ def main():
         # holds the content (64 px for newspaper-aspect lines) — same
         # letterbox geometry as a 192x640 canvas but 3x fewer bytes over
         # the host->device link and 3x fewer detector pixels
+        # BENCH_MAX_NMS / BENCH_MAX_DET: NMS candidate / output caps.
+        # Defaults match the reference contract (max_det=1000); text
+        # lines carry <=64 glyphs, so tighter caps are decode-identical
+        # on this workload while the [N,N] suppression work shrinks
+        # quadratically — sweep on-chip before changing the default.
         localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.01,
-                                  input_height=192),
+                                  input_height=192,
+                                  max_nms=int(os.environ.get(
+                                      "BENCH_MAX_NMS", "1024")),
+                                  max_det=int(os.environ.get(
+                                      "BENCH_MAX_DET", "1000"))),
         encoder=EncoderConfig(arch="mobilenetv3_small_050",
                               image_size=enc_size),
         adaptive_height=True,
