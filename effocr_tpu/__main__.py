@@ -22,6 +22,7 @@ def main():
         "import_trocr": "effocr_tpu.cli.import_trocr",
         "import_encoder": "effocr_tpu.cli.import_encoder",
         "infer": "effocr_tpu.cli.infer",
+        "error_analysis": "effocr_tpu.cli.error_analysis",
         "serve": "effocr_tpu.cli.serve",
         "viz": "effocr_tpu.cli.viz",
         "coco_split": "effocr_tpu.cli.coco_tools",

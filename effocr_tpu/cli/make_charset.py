@@ -36,6 +36,15 @@ def main():
                    help="cap the charset size (0 = all)")
     p.add_argument("--name", type=str, default=None,
                    help="first column tag (default: derived from --out)")
+    p.add_argument("--dedupe_renders", action="store_true", default=False,
+                   help="drop codepoints that render pixel-identically to "
+                        "an earlier one in every given font (cross-script "
+                        "clones, super/subscript twins); keeps corpus "
+                        "ground truth answerable from pixels — measured "
+                        "as the dominant CER residual at jisx0213 scale "
+                        "(error-analysis --font_dir)")
+    p.add_argument("--dedupe_canvas", type=int, default=64,
+                   help="render size for --dedupe_renders hashing")
     args = p.parse_args()
 
     paths = []
@@ -59,6 +68,17 @@ def main():
     chars = sorted(combined)
     if args.max_chars and len(chars) > args.max_chars:
         chars = chars[: args.max_chars]
+
+    if args.dedupe_renders:
+        from effocr_tpu.data.fonts import dedupe_render_identical
+
+        chars, dropped = dedupe_render_identical(
+            chars, paths, canvas_size=args.dedupe_canvas
+        )
+        ex = (" (e.g. " + ", ".join(
+            f"{d!r}=={k!r}" for d, k in dropped[:5]) + ")") if dropped else ""
+        print(f"dedupe_renders: dropped {len(dropped)} render-identical "
+              f"codepoints{ex}")
 
     name = args.name or os.path.splitext(os.path.basename(args.out))[0]
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

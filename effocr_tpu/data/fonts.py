@@ -23,7 +23,7 @@ import os
 from collections import defaultdict
 from glob import glob
 from itertools import chain
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont, ImageOps
@@ -168,6 +168,59 @@ def render_chars(
                 img.save(os.path.join(char_dir, name))
             idx += 1
     return idx
+
+
+def render_signatures(
+    chars: Sequence[str],
+    font_paths: Sequence[str],
+    canvas_size: int = 64,
+) -> Dict[str, Tuple[Tuple[int, int], ...]]:
+    """char -> tuple of (font index, raster hash) over fonts rendering it.
+
+    Two chars with EQUAL signatures are indistinguishable in every corpus
+    font — cross-script clones (Cyrillic А / Greek Α / Latin A in many
+    faces), super/subscript twins, dash variants.  A recognizer trained
+    on such a charset carries irreducible confusion between them.
+    """
+    sigs: Dict[str, list] = {c: [] for c in chars}
+    want = set(chars)
+    for fi, fp in enumerate(font_paths):
+        font = ImageFont.truetype(fp, size=canvas_size)
+        _, covered = get_unicode_coverage_from_ttf(fp)
+        for c in sorted(want.intersection(covered)):
+            img = draw_single_char(c, font, canvas_size)
+            if img is not None:
+                sigs[c].append((fi, hash(img.tobytes())))
+    return {c: tuple(s) for c, s in sigs.items()}
+
+
+def dedupe_render_identical(
+    chars: Sequence[str],
+    font_paths: Sequence[str],
+    canvas_size: int = 64,
+) -> Tuple[List[str], List[Tuple[str, str]]]:
+    """Drop charset entries that render identically to an earlier entry in
+    every font that draws them (the charset-level extension of
+    filter_recurring_hash — the reference only prunes duplicate RENDERS,
+    format_effocr_recognizer_dataset.py:195-205, so its charsets keep
+    pixel-identical codepoint twins and the corpus ground truth becomes
+    unanswerable from pixels).  Returns (kept, [(dropped, kept_twin)]).
+    Chars no font renders are kept (downstream rendering skips them)."""
+    sigs = render_signatures(chars, font_paths, canvas_size)
+    seen: Dict[tuple, str] = {}
+    kept: List[str] = []
+    dropped: List[Tuple[str, str]] = []
+    for c in chars:
+        s = sigs.get(c)
+        if not s:
+            kept.append(c)
+            continue
+        if s in seen:
+            dropped.append((c, seen[s]))
+        else:
+            seen[s] = c
+            kept.append(c)
+    return kept, dropped
 
 
 # Neighbor-glyph sets of the reference's AddAdjacentChars augmentations
