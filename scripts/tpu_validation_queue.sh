@@ -58,8 +58,15 @@ log "nms_microbench"
 timeout 3600 python scripts/nms_microbench.py 256
 
 # ---- optional longer runs (CER pushes), in priority order ------------
-# 6. --augment full A/B vs loc_rect's recipe (AP at matched epochs)
-# 7. convnext_tiny encoder on the en corpus (CER push vs atto's 0.0585)
-# 8. third jp hard-negative round / longer phase-2 schedule
-#    (harvest via: python -m effocr_tpu build-index --run_dir ...)
+# 6. jp deduped-charset rebuild (error-analysis found 39.8% of jp edits
+#    are render-identical codepoint twins — BENCH_ACCURACY.md):
+#    (cd /root/drivejp && python -m effocr_tpu make-charset \
+#       --font_dir fonts --out charset_dedup.txt --min_codepoint 256 \
+#       --dedupe_renders
+#     make-corpus with charset_dedup.txt -> retrain recognizer (8 min)
+#     + localizer -> infer; expect CER ~0.041 vs 0.0686)
+# 7. en phase-2 hard-negative round (error-analysis: l->I x10, u<->n x10
+#    are trainable confusions; rec_knn is phase-1 only)
+# 8. --augment full A/B vs loc_rect's recipe (AP at matched epochs)
+# 9. convnext_tiny encoder on the en corpus (CER push vs atto's 0.0585)
 log "queue done"
