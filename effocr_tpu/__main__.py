@@ -18,6 +18,7 @@ def main():
         "train_localizer": "effocr_tpu.cli.train_localizer",
         "train_seq2seq": "effocr_tpu.cli.train_seq2seq",
         "build_index": "effocr_tpu.cli.build_index",
+        "build_homoglyphs": "effocr_tpu.cli.build_homoglyphs",
         "export": "effocr_tpu.cli.export",
         "import_trocr": "effocr_tpu.cli.import_trocr",
         "import_encoder": "effocr_tpu.cli.import_encoder",

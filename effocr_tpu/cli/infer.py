@@ -141,6 +141,7 @@ def load_engine(args) -> EffOCRInference:
         anchor_margin=args.anchor_margin,
         spell_check=args.spell_check,
         spell_check_dict=args.dictionary_path,
+        homoglyphs_path=args.homoglyphs,
         crop_source=args.crop_source,
         retrieval_kernel=args.retrieval_kernel,
         transfer_bits=args.transfer_bits,
@@ -182,6 +183,10 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help='"word count" frequency list for --spell_check '
                         "(build one with: python -m effocr_tpu "
                         "build-freq-dict); default: small builtin list")
+    p.add_argument("--homoglyphs", type=str, default=None,
+                   help="extra 'a b' visual-similarity pairs for "
+                        "--spell_check (build from the trained index: "
+                        "python -m effocr_tpu build-homoglyphs)")
     p.add_argument("--localizer_dir", type=str, required=True)
     p.add_argument("--localizer_iou_thresh", type=float, default=0.01)
     p.add_argument("--localizer_conf_thresh", type=float, default=0.35)

@@ -88,6 +88,11 @@ class PipelineConfig:
     # one from any text corpus with `python -m effocr_tpu build-freq-dict`.
     # None = small builtin list (tests only).
     spell_check_dict: Optional[str] = None
+    # extra homoglyph pairs ('a b' per line) extending the built-in
+    # visual-similarity table; build from a trained index with
+    # `python -m effocr_tpu build-homoglyphs` (embedding nearest
+    # neighbors = the artifact's actual confusions)
+    homoglyphs_path: Optional[str] = None
     # "letterbox": crops cut on-device from the 640-letterboxed line (fully
     # fused, fastest).  "original": crops cut host-side from the original
     # resolution image, byte-matching reference semantics

@@ -903,7 +903,9 @@ class EffOCRInference:
             visual_spell_checker,
         )
 
-        worddict, vsim, abbrevs = default_dicts(self.config.spell_check_dict)
+        worddict, vsim, abbrevs = default_dicts(
+            self.config.spell_check_dict, self.config.homoglyphs_path
+        )
         return visual_spell_checker(out, worddict, vsim, abbrevs)
 
     def _finish_fused(self, handle, results, coco_boxes,

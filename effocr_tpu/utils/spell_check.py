@@ -158,6 +158,39 @@ def create_homoglyph_dict() -> Dict[str, List[str]]:
     return dict(HOMOGLYPHS)
 
 
+def load_homoglyph_pairs(path: str) -> Dict[str, List[str]]:
+    """Extra visual-similarity pairs, one 'a b' per line (symmetric).
+
+    Written by `build-homoglyphs` from a trained prototype index: chars
+    whose embeddings are nearest neighbors are exactly the confusions the
+    recognizer makes, so the beam search should try them — the built-in
+    table is the reference's hand-curated list and misses
+    artifact-specific pairs (u<->n on the en demo corpus)."""
+    out: Dict[str, List[str]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split()
+            if len(parts) != 2:
+                continue
+            a, b = parts
+            out.setdefault(a, []).append(b)
+            out.setdefault(b, []).append(a)
+    return out
+
+
+def merge_homoglyphs(
+    base: Dict[str, List[str]], extra: Dict[str, List[str]]
+) -> Dict[str, List[str]]:
+    """Union of visual-similarity tables, order-preserving, deduped."""
+    merged = {k: list(v) for k, v in base.items()}
+    for k, vs in extra.items():
+        cur = merged.setdefault(k, [])
+        for v in vs:
+            if v not in cur and v != k:
+                cur.append(v)
+    return merged
+
+
 def create_common_abbrev() -> Set[str]:
     return set(COMMON_ABBREVS)
 
@@ -165,11 +198,16 @@ def create_common_abbrev() -> Set[str]:
 @functools.lru_cache(maxsize=4)
 def default_dicts(
     dictionary_path: Optional[str] = None,
+    homoglyphs_path: Optional[str] = None,
 ) -> Tuple[Dict[str, int], Dict[str, List[str]], Set[str]]:
     """Cached (worddict, homoglyphs, abbrevs) — the spell checker is called
-    once per decoded line on the inference hot path."""
-    return (create_worddict(dictionary_path), create_homoglyph_dict(),
-            create_common_abbrev())
+    once per decoded line on the inference hot path.  homoglyphs_path
+    extends the built-in table with artifact-derived pairs
+    (load_homoglyph_pairs)."""
+    vsim = create_homoglyph_dict()
+    if homoglyphs_path:
+        vsim = merge_homoglyphs(vsim, load_homoglyph_pairs(homoglyphs_path))
+    return (create_worddict(dictionary_path), vsim, create_common_abbrev())
 
 
 def is_number(s: str) -> bool:

@@ -57,3 +57,45 @@ def test_abbrev_and_initial(dicts):
 def test_unfixable_word_unchanged(dicts):
     wd, sd, ab = dicts
     assert visual_spell_checker("qqqq", wd, sd, ab) == "qqqq"
+
+
+def test_homoglyph_pairs_load_merge(tmp_path):
+    from effocr_tpu.utils.spell_check import (
+        create_homoglyph_dict,
+        load_homoglyph_pairs,
+        merge_homoglyphs,
+    )
+
+    p = tmp_path / "hg.txt"
+    p.write_text("u n\nF P\n\nbad line with extra\n")
+    extra = load_homoglyph_pairs(str(p))
+    assert extra["u"] == ["n"] and extra["n"] == ["u"]
+    assert extra["F"] == ["P"] and extra["P"] == ["F"]
+    merged = merge_homoglyphs(create_homoglyph_dict(), extra)
+    # base entries kept, extras appended without dupes
+    assert merged["l"][:2] == ["i", "1"]
+    assert "n" in merged["u"]
+    base = create_homoglyph_dict()
+    assert "u" not in base  # confirms the extension is additive
+
+
+def test_spell_checker_uses_extra_pairs(tmp_path):
+    from effocr_tpu.utils.spell_check import (
+        create_common_abbrev,
+        create_homoglyph_dict,
+        create_worddict,
+        load_homoglyph_pairs,
+        merge_homoglyphs,
+        visual_spell_checker,
+    )
+
+    wd = create_worddict()
+    wd["amount"] = 1000
+    base = create_homoglyph_dict()
+    ab = create_common_abbrev()
+    # base table lacks n->u, so 'amonnt' stays broken
+    assert visual_spell_checker("amonnt", wd, base, ab) == "amonnt"
+    p = tmp_path / "hg.txt"
+    p.write_text("u n\n")
+    vs = merge_homoglyphs(base, load_homoglyph_pairs(str(p)))
+    assert visual_spell_checker("amonnt", wd, vs, ab) == "amount"
