@@ -58,13 +58,13 @@ log "nms_microbench"
 timeout 3600 python scripts/nms_microbench.py 256
 
 # ---- optional longer runs (CER pushes), in priority order ------------
-# 6. jp deduped-charset rebuild (error-analysis found 39.8% of jp edits
-#    are render-identical codepoint twins — BENCH_ACCURACY.md):
-#    (cd /root/drivejp && python -m effocr_tpu make-charset \
-#       --font_dir fonts --out charset_dedup.txt --min_codepoint 256 \
-#       --dedupe_renders
-#     make-corpus with charset_dedup.txt -> retrain recognizer (8 min)
-#     + localizer -> infer; expect CER ~0.041 vs 0.0686)
+# 6. jp deduped-charset retrain (corpus ALREADY STAGED on host:
+#    /root/drivejp/{charset_dedup,corpus6kd,split6kd_*,tree6kd};
+#    error-analysis found 39.8% of jp edits are render-identical
+#    codepoint twins — BENCH_ACCURACY.md). Run:
+#    sh /root/drivejp/run_full_jpd.sh      # ~8 min on chip
+#    then phase-2 hns + infer per the script's trailer comments;
+#    expect CER ~0.041 vs 0.0686 (reuse loc_vert detector).
 # 7. en phase-2 hard-negative round (error-analysis: l->I x10, u<->n x10
 #    are trainable confusions; rec_knn is phase-1 only)
 # 8. --augment full A/B vs loc_rect's recipe (AP at matched epochs)
