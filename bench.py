@@ -119,8 +119,13 @@ def main():
     engine = EffOCRInference(cfg, localizer, loc_vars, encoder, enc_vars,
                              index)
 
-    # warmup (compile)
+    # warmup (compile + executable upload + relay ramp): one chunk first
+    # (triggers the compile), then a full untimed pass so every chunk
+    # shape/path is warm — the first full run otherwise pays one-time
+    # costs (cache deserialization, AOT upload) that the median-of-3 is
+    # meant to exclude
     engine.run(lines[: cfg.line_batch])
+    engine.run(lines)
 
     # median of N runs: the TPU sits behind a shared relay whose
     # throughput varies run to run; a single sample is noise

@@ -1,9 +1,16 @@
 #!/bin/bash
 # TPU validation queue — run top to bottom when the axon relay is back.
-# (Relay outage started 2026-08-17 ~20:00 UTC; see memory/axon-relay-outage.md.
+# (Relay outage started 2026-08-17 ~20:00 UTC; back 2026-08-18.
 #  Probe: timeout 90 python -c "import jax; print(jax.devices())")
 # ONE chip, ONE job at a time; first compiles 2-9 min each through the
 # remote-compile relay (persistent cache helps within a round).
+#
+# NOTE 2026-08-18: host scratch (/root/drive2, /root/drivejp) was WIPED
+# between sessions — trained artifacts and corpora are gone. Steps 3-5
+# below need `scripts/rebuild_en.sh` / `scripts/rebuild_jp.sh` run first
+# (they recreate the corpora and retrain from the BENCH_ACCURACY.md
+# configs; rebuild_jp.sh already folds in the deduped-charset retrain
+# that step 6 queued).
 set -e
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:/root/.axon_site"
