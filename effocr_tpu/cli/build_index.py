@@ -51,7 +51,8 @@ def main():
                          "use class_map.json directly")
 
     cfg = RecognizerTrainConfig(
-        encoder=EncoderConfig(arch=a["auto_model"], image_size=a["imsize"]),
+        encoder=EncoderConfig(arch=a["auto_model"], image_size=a["imsize"],
+                              input_channels=a.get("input_channels", 3)),
         batch_size=a["batch_size"], lang=a["lang"],
         temperature=a["temp"], m_per_class=a["m"],
         ref_source=a.get("ref_source", "render"),

@@ -34,8 +34,9 @@ def export_encoder(recognizer_dir: str, out_path: str, batch: int = 64,
     else:
         model = create_encoder(meta.get("arch", "convnext_tiny"))
     size = meta.get("image_size", 224)
+    ch = meta.get("input_channels", 3)
     init = model.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, size, size, 3)), train=False)
+                      jnp.zeros((1, size, size, ch)), train=False)
     variables = ckpt.load_variables(
         init, ckpt.best_checkpoint_path(recognizer_dir)
     )
@@ -43,7 +44,7 @@ def export_encoder(recognizer_dir: str, out_path: str, batch: int = 64,
     def fwd(x):
         return model.apply(variables, x, train=False)
 
-    spec = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)
+    spec = jax.ShapeDtypeStruct((batch, size, size, ch), jnp.float32)
     exported = jax_export.export(
         jax.jit(fwd), platforms=("cpu", "tpu")
     )(spec)
@@ -56,7 +57,7 @@ def export_encoder(recognizer_dir: str, out_path: str, batch: int = 64,
         rng = np.random.default_rng(0)
         for _ in range(2):
             x = jnp.asarray(
-                rng.normal(size=(batch, size, size, 3)), jnp.float32
+                rng.normal(size=(batch, size, size, ch)), jnp.float32
             )
             np.testing.assert_allclose(
                 np.asarray(reloaded.call(x)), np.asarray(fwd(x)),

@@ -42,13 +42,14 @@ def load_engine(args) -> EffOCRInference:
         num_classes=loc_meta.get("num_classes", 2),
     )
     size = loc_meta.get("input_size", 640)
+    loc_ch = loc_meta.get("input_channels", 3)
     # a model trained on a rectangular canvas carries its height in
     # model.json; the flag still overrides
     if args.input_height is None:
         args.input_height = loc_meta.get("input_height")
     h0 = args.input_height or size
     loc_init = localizer.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, h0, size, 3)), train=False
+        jax.random.PRNGKey(0), jnp.zeros((1, h0, size, loc_ch)), train=False
     )
     loc_vars = ckpt.load_variables(
         loc_init,
@@ -66,8 +67,16 @@ def load_engine(args) -> EffOCRInference:
     else:
         encoder = create_encoder(rec_meta.get("arch", "convnext_tiny"))
     imsize = rec_meta.get("image_size", 224)
+    rec_ch = rec_meta.get("input_channels", 3)
+    assert rec_ch == loc_ch, (
+        f"recognizer input_channels ({rec_ch}) != localizer "
+        f"input_channels ({loc_ch}): the fused pipeline crops encoder "
+        f"inputs from the detector canvas, so both models must be "
+        f"trained with the same --input_channels"
+    )
     enc_init = encoder.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)), train=False
+        jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, rec_ch)),
+        train=False,
     )
     enc_vars = ckpt.load_variables(
         enc_init, ckpt.best_checkpoint_path(args.recognizer_dir)
@@ -109,6 +118,8 @@ def load_engine(args) -> EffOCRInference:
         for s in range(0, len(ridx), bs):
             chunk = ridx[s : s + bs]
             imgs, _, _ = ds.load_batch(chunk, imsize)
+            if rec_ch == 1:
+                imgs = imgs.mean(axis=-1, keepdims=True).astype(_np.uint8)
             pad = bs - len(chunk)
             if pad:
                 imgs = _np.concatenate(
@@ -125,6 +136,29 @@ def load_engine(args) -> EffOCRInference:
         if args.blacklist_chars:
             index.blacklist(args.blacklist_chars)
 
+    # adaptive-height guard: clamp tiers to the heights the detector
+    # actually trained on (model.json trained_heights; absent for runs
+    # predating the field -> warn instead of silently degrading)
+    height_floor = None
+    if args.adaptive_height:
+        trained = loc_meta.get("trained_heights")
+        if trained:
+            height_floor = min(trained)
+            if height_floor >= (args.input_height or size):
+                print(
+                    f"--adaptive_height: detector trained only at height "
+                    f"{trained} — tiers are clamped there (no speed win). "
+                    f"Retrain with --multi_height (e.g. 64,96) to unlock "
+                    f"smaller canvas tiers."
+                )
+        else:
+            print(
+                "WARNING: --adaptive_height with a localizer_dir that "
+                "does not record trained_heights; tiers below the "
+                "training height cost CER (BENCH_ACCURACY.md). Retrain "
+                "or pin --input_height."
+            )
+
     cfg = PipelineConfig(
         lang=args.lang,
         vertical=args.vertical,
@@ -133,11 +167,14 @@ def load_engine(args) -> EffOCRInference:
             input_size=size,
             input_height=args.input_height,
             num_classes=loc_meta.get("num_classes", 2),
+            input_channels=loc_ch,
             conf_thresh=args.localizer_conf_thresh,
             iou_thresh=args.localizer_iou_thresh,
         ),
         encoder=EncoderConfig(arch=rec_meta.get("arch", "convnext_tiny"),
-                              image_size=imsize),
+                              image_size=imsize, input_channels=rec_ch),
+        input_channels=loc_ch,
+        adaptive_height_floor=height_floor,
         anchor_margin=args.anchor_margin,
         spell_check=args.spell_check,
         spell_check_dict=args.dictionary_path,

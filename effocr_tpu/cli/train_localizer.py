@@ -46,6 +46,10 @@ def main():
                         "cycled per epoch, so the detector is robust to the "
                         "inference pipeline's adaptive_height tiers; each "
                         "tier compiles one program variant")
+    p.add_argument("--input_channels", type=int, default=3, choices=[1, 3],
+                   help="1 = grayscale-native detector (pairs with the "
+                        "inference pipeline's gray canvas path; train "
+                        "recognizer with the same value)")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=5e-4)
@@ -84,13 +88,21 @@ def main():
     with open(os.path.join(args.run_name, "model.json"), "w") as f:
         json.dump({"arch": args.arch, "num_classes": args.num_classes,
                    "input_size": args.input_size,
-                   "input_height": args.input_height}, f)
+                   "input_height": args.input_height,
+                   "input_channels": args.input_channels,
+                   "trained_heights": sorted(
+                       int(h) for h in (
+                           args.multi_height.split(",") if args.multi_height
+                           else [args.input_height or args.input_size]
+                       )
+                   )}, f)
 
     cfg = LocalizerTrainConfig(
         localizer=LocalizerConfig(
             arch=args.arch, input_size=args.input_size,
             input_height=args.input_height,
             num_classes=args.num_classes,
+            input_channels=args.input_channels,
         ),
         batch_size=args.batch_size, lr=args.lr,
         weight_decay=args.weight_decay, num_epochs=args.num_epochs,
@@ -105,13 +117,14 @@ def main():
     )
     train_sets = [
         DetectionDataset(args.train_coco, args.image_dir, args.input_size,
-                         input_height=h)
+                         input_height=h, channels=args.input_channels)
         for h in heights
     ]
     train_ds = train_sets[0]
     val_ds = DetectionDataset(args.val_coco, args.image_dir, args.input_size,
                               input_height=max(h or args.input_size
-                                               for h in heights))
+                                               for h in heights),
+                              channels=args.input_channels)
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.num_epochs
@@ -176,7 +189,8 @@ def main():
 
         test_ds = DetectionDataset(
             args.test_coco, args.image_dir, args.input_size,
-            input_height=max(h or args.input_size for h in heights))
+            input_height=max(h or args.input_size for h in heights),
+            channels=args.input_channels)
         # score the BEST checkpoint, not the last epoch
         best = ckpt.best_checkpoint_path(args.run_name, "best_bbox_mAP")
         if os.path.exists(best):

@@ -34,6 +34,11 @@ def main():
     p.add_argument("--temp", type=float, default=0.1)
     p.add_argument("--m", type=int, default=4)
     p.add_argument("--imsize", type=int, default=224)
+    p.add_argument("--input_channels", type=int, default=3, choices=[1, 3],
+                   help="1 = grayscale-native encoder (pairs with the "
+                        "inference pipeline's gray canvas path: 3x fewer "
+                        "host->device bytes; train localizer with the "
+                        "same value)")
     p.add_argument("--hns_txt_path", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--resume", action="store_true", default=False,
@@ -101,12 +106,14 @@ def main():
     # model identity for the inference loader (cli/infer.py load_engine)
     with open(os.path.join(args.run_name, "model.json"), "w") as f:
         json.dump({"arch": args.auto_model, "image_size": args.imsize,
-                   "num_classes": args.N_classes}, f)
+                   "num_classes": args.N_classes,
+                   "input_channels": args.input_channels}, f)
 
     cfg = RecognizerTrainConfig(
         encoder=EncoderConfig(
             arch=args.auto_model, image_size=args.imsize,
             num_classes=args.N_classes,
+            input_channels=args.input_channels,
         ),
         batch_size=args.batch_size, lr=args.lr,
         weight_decay=args.weight_decay, num_epochs=args.num_epochs,

@@ -44,8 +44,9 @@ def main():
         meta = json.load(f)
     encoder = create_encoder(meta.get("arch", "convnext_tiny"))
     imsize = meta.get("image_size", 224)
+    ch = meta.get("input_channels", 3)
     init = encoder.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, imsize, imsize, 3)), train=False)
+                        jnp.zeros((1, imsize, imsize, ch)), train=False)
     variables = ckpt.load_variables(
         init, ckpt.best_checkpoint_path(args.recognizer_dir)
     )
@@ -65,6 +66,8 @@ def main():
     for qp in queries:
         raw = np.asarray(Image.open(qp).convert("RGB"))
         x = paired_transform_host(raw, imsize)
+        if ch == 1:
+            x = x.mean(axis=-1, keepdims=True)
         emb = np.asarray(embed(jnp.asarray(x[None])))
         _, idx = index.search(emb, k=args.k)
         chars = [index.chars[i] for i in idx[0]]

@@ -29,6 +29,10 @@ class EncoderConfig:
     embed_dim: Optional[int] = None   # None -> architecture's native width
     num_classes: Optional[int] = None # not None -> FFNN classifier head
                                       # (train_effocr_recognizer.py:230-231)
+    # 1 = grayscale-native encoder (first conv takes one channel); must
+    # match the pipeline's input_channels at inference.  Printed documents
+    # carry no chroma, and the gray canvas is 3x fewer host->device bytes.
+    input_channels: int = 3
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
@@ -55,6 +59,8 @@ class LocalizerConfig:
                                       # NMS IoU matrix is O(max_nms^2) HBM
     class_agnostic: bool = False      # per-class NMS via class offset
                                       # (localizer_engine.py:260-261)
+    # 1 = grayscale-native detector (see EncoderConfig.input_channels)
+    input_channels: int = 3
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
@@ -127,6 +133,13 @@ class PipelineConfig:
     # same; r = min(canvas_h/h, canvas_w/w) still binds on width).  Each
     # distinct tier compiles one program variant; tiers are multiples of 32.
     adaptive_height: bool = False
+    # Adaptive-height guard: smallest tier adaptive_height may pick.  A
+    # detector trained at one fixed height degrades on tiers it never saw
+    # (0.059 -> 0.081 CER measured, BENCH_ACCURACY.md "Known interaction");
+    # the inference loader sets this to min(trained_heights) from the
+    # localizer's model.json so adaptive tiers stay inside the training
+    # distribution.  None = unguarded (trust the caller).
+    adaptive_height_floor: Optional[int] = None
     # static ROI slice size; must cover the max crop side in letterbox px
     # (side = max(char width, line content height)); smaller = fewer MXU
     # FLOPs in the crop kernel

@@ -26,11 +26,16 @@ class DetectionDataset:
         input_size: int = 640,
         max_targets: int = 256,
         input_height: Optional[int] = None,
+        channels: int = 3,
     ):
         """input_height: rectangular canvas (stride-32 multiple).  Text
         lines are ~15-25x wider than tall, so a (96, 1024) canvas trains on
         near-full-resolution characters with fewer pixels than a 320 square
-        — detection AP at char scale is resolution-bound, not data-bound."""
+        — detection AP at char scale is resolution-bound, not data-bound.
+
+        channels=1 trains grayscale-native detectors: images reduce to the
+        truncating channel mean, the same reduction the inference host prep
+        applies (pipelines/infer.py input_channels == 1)."""
         self.coco = (
             load_json(coco_json) if isinstance(coco_json, str) else coco_json
         )
@@ -38,6 +43,7 @@ class DetectionDataset:
         self.input_size = input_size
         self.input_height = input_height or input_size
         self.max_targets = max_targets
+        self.channels = channels
         self.annos_by_image: Dict[int, List] = {}
         for a in self.coco["annotations"]:
             self.annos_by_image.setdefault(a["image_id"], []).append(a)
@@ -58,6 +64,8 @@ class DetectionDataset:
             ).convert("RGB")
         )
         size = self.input_size
+        if self.channels == 1:
+            img = img.mean(axis=-1, keepdims=True).astype(np.uint8)
         lb, r, (dw, dh) = letterbox_host(img, (self.input_height, size))
         # uint8 out: the train/eval programs normalize on device — a f32
         # canvas would quadruple the host->device transfer per step (and
@@ -95,7 +103,8 @@ class DetectionDataset:
         640x96 corpus is ~1.1 GB."""
         n = len(self)
         imgs = np.full(
-            (n, self.input_height, self.input_size, 3), 114, np.uint8
+            (n, self.input_height, self.input_size, self.channels),
+            114, np.uint8,
         )
         tgts = np.zeros((n, self.max_targets, 5), np.float32)
         masks = np.zeros((n, self.max_targets), bool)
@@ -116,7 +125,8 @@ class DetectionDataset:
             if len(idx) < batch_size and drop_last:
                 break
             imgs = np.full(
-                (batch_size, self.input_height, size, 3), 114, np.uint8
+                (batch_size, self.input_height, size, self.channels),
+                114, np.uint8,
             )
             tgts = np.zeros((batch_size, self.max_targets, 5), np.float32)
             masks = np.zeros((batch_size, self.max_targets), bool)

@@ -185,7 +185,8 @@ def _per_sample_apply(p: float, key: jax.Array, x_new: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("lang", "high_blur", "no_aug",
-                                   "crop_sim", "paired_jitter"))
+                                   "crop_sim", "paired_jitter",
+                                   "out_channels"))
 def augment_batch(
     images_u8: jnp.ndarray,
     is_paired: jnp.ndarray,
@@ -196,6 +197,7 @@ def augment_batch(
     crop_sim: float = 0.0,
     adjacent_bank: Optional[jnp.ndarray] = None,
     paired_jitter: float = 0.0,
+    out_channels: int = 3,
 ) -> jnp.ndarray:
     """uint8 [B,S,S,3] white-padded squares -> normalized float32 crops.
 
@@ -205,10 +207,16 @@ def augment_batch(
     [V,N,S,S], render_adjacent_bank) enables the AddAdjacentChars
     neighbor-glyph composite — applied first, so the slivers ride through
     the affine/noise stack like real crop bleed-through would.
+
+    out_channels=1 trains grayscale-native encoders: the augmentation
+    stack still runs in RGB (color shift/jitter survive as luminance
+    perturbations), and the result is channel-averaged to one plane just
+    before normalize — matching the inference pipeline's gray canvas
+    (pipelines/infer.py input_channels == 1).
     """
     x = images_u8.astype(jnp.float32) / 255.0
     if no_aug:
-        return normalize_imagenet(x)
+        return normalize_imagenet(_to_channels(x, out_channels))
 
     plain = x
     b, size = x.shape[0], x.shape[1]
@@ -317,4 +325,12 @@ def augment_batch(
             paired_jitter, pk[3], _apply_affine(plain, p_y, p_x), plain
         )
     x = jnp.where(is_paired[:, None, None, None], paired_x, x)
-    return normalize_imagenet(x)
+    return normalize_imagenet(_to_channels(x, out_channels))
+
+
+def _to_channels(x: jnp.ndarray, out_channels: int) -> jnp.ndarray:
+    """Reduce RGB float crops to the requested channel count (mean over
+    channels, the same reduction the inference host prep uses)."""
+    if out_channels == 1 and x.shape[-1] != 1:
+        return jnp.mean(x, axis=-1, keepdims=True)
+    return x

@@ -542,7 +542,10 @@ class EffOCRInference:
         cap = c.localizer.input_height or size_w
         if not c.adaptive_height or c.vertical:
             return cap
-        need = 32
+        # floor at the smallest canvas height the detector trained on —
+        # tiers outside the training distribution cost CER
+        # (BENCH_ACCURACY.md "Known interaction")
+        need = c.adaptive_height_floor or 32
         for raw in chunk:
             h, w = raw.shape[:2]
             need = max(need, min(cap, int(np.ceil(h * size_w / w))))

@@ -238,7 +238,8 @@ class LocalizerTrainer:
     def init_state(self, key: jax.Array, input_size: Optional[int] = None):
         size = input_size or self.cfg.localizer.input_size
         height = self.cfg.localizer.input_height or size
-        x = jnp.zeros((1, height, size, 3), jnp.float32)
+        ch = getattr(self.cfg.localizer, "input_channels", 3)
+        x = jnp.zeros((1, height, size, ch), jnp.float32)
         variables = self.model.init(key, x, train=False)
         params = variables["params"]
         self.state = {

@@ -64,6 +64,8 @@ def make_train_step(model, cfg: RecognizerTrainConfig, tx,
     that fit in HBM.
     """
 
+    channels = getattr(cfg.encoder, "input_channels", 3)
+
     def prepare(images_u8, is_paired, key):
         if images_u8.ndim == 3:  # gray bank rows -> RGB
             images_u8 = jnp.repeat(images_u8[..., None], 3, axis=-1)
@@ -72,6 +74,7 @@ def make_train_step(model, cfg: RecognizerTrainConfig, tx,
             high_blur=cfg.high_blur, no_aug=cfg.no_aug,
             crop_sim=cfg.crop_sim, adjacent_bank=adjacent_bank,
             paired_jitter=getattr(cfg, "paired_jitter", 0.0),
+            out_channels=channels,
         )
 
     def body(state, x, targets, key):
@@ -194,8 +197,11 @@ class RecognizerTrainer:
             from effocr_tpu.kernels.image_ops import normalize_imagenet
 
             g = jnp.take(bank, idx, axis=0).astype(jnp.float32) / 255.0
-            x = normalize_imagenet(jnp.repeat(g[..., None], 3, axis=-1))
-            return model.apply(variables, x, train=False)
+            ch = getattr(cfg.encoder, "input_channels", 3)
+            x = g[..., None] if ch == 1 else jnp.repeat(
+                g[..., None], 3, axis=-1
+            )
+            return model.apply(variables, normalize_imagenet(x), train=False)
 
         self._embed_bank_fn = jax.jit(embed_bank)
         self.bank = None            # HBM-resident gray dataset (see
@@ -265,9 +271,10 @@ class RecognizerTrainer:
         too rarely to organize and the CE drowns SupCon in noise;
         embedding-seeded rows give a coherent objective from step one."""
         size = self.cfg.encoder.image_size
+        ch = getattr(self.cfg.encoder, "input_channels", 3)
         out = jax.eval_shape(
             lambda v, x: self.model.apply(v, x, train=False),
-            self.variables, jnp.zeros((1, size, size, 3), jnp.float32),
+            self.variables, jnp.zeros((1, size, size, ch), jnp.float32),
         )
         d = out.shape[-1]
         w = np.array(
@@ -289,7 +296,8 @@ class RecognizerTrainer:
     # ----------------------------------------------------------------- init
     def init_state(self, key: jax.Array, sample_shape=None):
         size = self.cfg.encoder.image_size
-        x = jnp.zeros((2, size, size, 3), jnp.float32)
+        ch = getattr(self.cfg.encoder, "input_channels", 3)
+        x = jnp.zeros((2, size, size, ch), jnp.float32)
         variables = self.model.init(key, x, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -355,6 +363,10 @@ class RecognizerTrainer:
                     imgs = np.concatenate(
                         [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
                     )
+                if getattr(self.cfg.encoder, "input_channels", 3) == 1:
+                    # truncating channel mean, matching the inference host
+                    # prep (pipelines/infer.py _dispatch_chunk)
+                    imgs = imgs.mean(axis=-1, keepdims=True).astype(np.uint8)
                 x = normalize_imagenet(jnp.asarray(imgs, jnp.float32) / 255.0)
                 out = np.asarray(self._embed_fn(self.variables, x))
             embs.append(out[: len(chunk)])

@@ -38,7 +38,7 @@ if [ ! -d tree ]; then
   log format-dataset
   python -m effocr_tpu format-dataset --image_dir corpus/images \
     --coco_jsons split_train.json,split_val.json,split_test.json \
-    --crops_save_dir crops --cat_id 0 --font_dir fonts \
+    --crops_save_dir crops --cat_id 0 --font_dir fonts --spaces \
     --charset_dir english_charsets --dataset_save_dir tree
 fi
 
