@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import re
 import string
+import warnings
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 _BUILTIN_FREQS = """the 23135851162 of 13151942776 and 12997637966 to 12136980858
@@ -145,6 +146,16 @@ def create_worddict(dictionary_path: Optional[str] = None) -> Dict[str, int]:
         with open(dictionary_path) as f:
             text = f.read()
     else:
+        # The builtin list is ~560 words (the reference ships symspell's
+        # 82k-word list, utils/spell_check_utils.py:14-23, which isn't
+        # redistributable here).  Small dictionaries can *hurt* CER by
+        # "correcting" valid words the list lacks — measured in round 1.
+        warnings.warn(
+            "spell check is using the ~560-word builtin frequency list; "
+            "corrections outside it can hurt CER. Build a corpus dictionary "
+            "with `effocr_tpu build-freq-dict` and pass --dictionary_path.",
+            stacklevel=2,
+        )
         text = _BUILTIN_FREQS
     tokens = text.split()
     for w, c in zip(tokens[::2], tokens[1::2]):

@@ -19,6 +19,27 @@ import numpy as np
 import pytest
 
 
+# Fast host-side files auto-marked `quick` (`pytest -m quick` ≈ 2.5 min on
+# the 1-core host vs >10 min full suite) so the full-suite-green discipline
+# has a cheap edit-test tier.  Files stay unmarked in-source; membership is
+# by module so new tests in these files inherit the marker.
+_QUICK_FILES = {
+    "test_cli_surface",
+    "test_data",
+    "test_eval",
+    "test_kernels",
+    "test_lang",
+    "test_nms",
+    "test_spell_check",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _QUICK_FILES:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _pin_cpu_backend():
     """Run all test computation on the (always-registered) CPU backend:
