@@ -22,6 +22,7 @@ def main():
         "export": "effocr_tpu.cli.export",
         "import_trocr": "effocr_tpu.cli.import_trocr",
         "import_encoder": "effocr_tpu.cli.import_encoder",
+        "import_reference": "effocr_tpu.cli.import_reference",
         "infer": "effocr_tpu.cli.infer",
         "error_analysis": "effocr_tpu.cli.error_analysis",
         "serve": "effocr_tpu.cli.serve",

@@ -56,7 +56,13 @@ def load_engine(args) -> EffOCRInference:
         ckpt.best_checkpoint_path(args.localizer_dir, "best_bbox_mAP"),
     )
 
-    # recognizer
+    # recognizer — reference-format dirs (enc_best.pth + FAISS ref.index,
+    # infer_effocr_onnx_multi.py:401-419) auto-convert on first use
+    from effocr_tpu.interop.reference_artifacts import (
+        maybe_convert_reference_dir,
+    )
+
+    args.recognizer_dir = maybe_convert_reference_dir(args.recognizer_dir)
     with open(os.path.join(args.recognizer_dir, "model.json")) as f:
         rec_meta = json.load(f)
     if rec_meta.get("num_classes"):

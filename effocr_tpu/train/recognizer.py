@@ -479,6 +479,20 @@ class RecognizerTrainer:
         steps_per_epoch = sum(
             1 for _ in batch_iterator(iter(make_sampler(0)), cfg.batch_size)
         )
+        total_steps = steps_per_epoch * cfg.num_epochs
+        if total_steps < 200:
+            # m-per-class epochs scale with the CLASS count, not the crop
+            # count (m * n_classes * num_passes, recognizer_samplers.py:9-70)
+            # — at small charsets an "epoch" is a couple of optimizer steps
+            # and a from-scratch run silently undertrains (en demo: 32 steps
+            # -> val p@1 0.53; x20 passes -> 0.999 with zero code changes).
+            print(
+                f"WARNING: only {total_steps} total optimizer steps "
+                f"({steps_per_epoch}/epoch: m={cfg.m_per_class} x "
+                f"{len(set(train_labels))} classes, num_passes="
+                f"{cfg.num_passes}); from-scratch training needs hundreds "
+                f"— raise --num_passes or --num_epochs"
+            )
         if self.use_aux:
             key, aux_key = jax.random.split(key)
             first_of_class: Dict[int, int] = {}

@@ -50,7 +50,7 @@ if [ ! -e rec_knn/ref.npz ]; then
     --auto_model convnext_atto --imsize 128 --batch_size 128 \
     --lr 1e-3 --lr_schedule cosine --warmup_frac 0.05 \
     --aux_ce_weight 1.0 --ref_source centroid --num_epochs 16 \
-    --data_device resident --test_at_end
+    --num_passes 20 --data_device resident --test_at_end
 fi
 
 if [ ! -e loc_rect/best_bbox_mAP.msgpack ]; then
