@@ -145,6 +145,14 @@ def main():
         "value": round(lines_per_sec, 2),
         "unit": "lines/s/chip",
         "vs_baseline": round(lines_per_sec / target_per_chip, 4),
+        # provenance: this is the throughput half of the north-star only —
+        # random weights on synthetic lines; trained-artifact CER-parity
+        # numbers live in BENCH_ACCURACY.md
+        "weights": "random",
+        "corpus": "synthetic",
+        "input_channels": channels,
+        "transfer_bits": bits,
+        "line_batch": line_batch,
     }))
 
 

@@ -10,11 +10,15 @@ import argparse
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--recognizer_dir", type=str, required=True,
+    p.add_argument("--recognizer_dir", type=str, default=None,
                    help="reference-format dir (enc_best.pth + ref.index + "
                         "ref.txt)")
+    p.add_argument("--localizer_pt", type=str, default=None,
+                   help="ultralytics yolov5 state dict (.pt) — export from "
+                        "best.pt via ckpt['model'].float().state_dict()")
     p.add_argument("--out", type=str, default=None,
-                   help="output dir (default <recognizer_dir>/tpu_converted)")
+                   help="output dir (default <recognizer_dir>/tpu_converted; "
+                        "required with --localizer_pt)")
     p.add_argument("--arch", type=str, default=None,
                    help="registry arch override (auto-detected from the "
                         "state dict otherwise)")
@@ -22,17 +26,35 @@ def main():
                    help="encoder input size the checkpoint was trained at "
                         "(the reference's paired transform is 224, "
                         "utils/datasets_utils.py:166-172)")
+    p.add_argument("--input_size", type=int, default=640,
+                   help="localizer canvas width (letterbox_engine default)")
+    p.add_argument("--input_height", type=int, default=None)
     args = p.parse_args()
 
-    from effocr_tpu.interop.reference_artifacts import (
-        import_reference_recognizer_dir,
-    )
+    if args.recognizer_dir:
+        from effocr_tpu.interop.reference_artifacts import (
+            import_reference_recognizer_dir,
+        )
 
-    out = import_reference_recognizer_dir(
-        args.recognizer_dir, args.out, arch=args.arch,
-        image_size=args.imsize,
-    )
-    print(f"converted -> {out}")
+        out = import_reference_recognizer_dir(
+            args.recognizer_dir, args.out, arch=args.arch,
+            image_size=args.imsize,
+        )
+        print(f"recognizer converted -> {out}")
+    if args.localizer_pt:
+        if not args.out:
+            raise SystemExit("--localizer_pt requires --out")
+        from effocr_tpu.interop.yolo_import import (
+            import_ultralytics_localizer,
+        )
+
+        out = import_ultralytics_localizer(
+            args.localizer_pt, args.out, input_size=args.input_size,
+            input_height=args.input_height,
+        )
+        print(f"localizer converted -> {out}")
+    if not args.recognizer_dir and not args.localizer_pt:
+        raise SystemExit("pass --recognizer_dir and/or --localizer_pt")
 
 
 if __name__ == "__main__":

@@ -37,9 +37,13 @@ def load_engine(args) -> EffOCRInference:
     # localizer
     with open(os.path.join(args.localizer_dir, "model.json")) as f:
         loc_meta = json.load(f)
+    loc_kw = {}
+    if loc_meta.get("anchors"):   # fitted or imported anchor priors
+        loc_kw["anchors"] = tuple(tuple(a) for a in loc_meta["anchors"])
     localizer = create_localizer(
         loc_meta.get("arch", "yolov5s"),
         num_classes=loc_meta.get("num_classes", 2),
+        **loc_kw,
     )
     size = loc_meta.get("input_size", 640)
     loc_ch = loc_meta.get("input_channels", 3)

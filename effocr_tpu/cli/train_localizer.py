@@ -70,6 +70,13 @@ def main():
     p.add_argument("--aug_flip_p", type=float, default=0.5)
     p.add_argument("--aug_scale", type=float, default=0.25)
     p.add_argument("--aug_translate", type=float, default=0.1)
+    p.add_argument("--fit_anchors", action="store_true", default=False,
+                   help="k-means anchor priors from the train boxes "
+                        "(letterbox space) instead of the COCO defaults — "
+                        "char boxes are far smaller than COCO objects; "
+                        "the D2 anchor-override equivalent "
+                        "(train_effocr_localizer_d2.py:200-202). Anchors "
+                        "are recorded in model.json and reloaded by infer")
     p.add_argument("--data_device", type=str, default="stream",
                    choices=["stream", "resident"],
                    help="resident: letterbox the corpus once into an HBM "
@@ -85,11 +92,37 @@ def main():
         args.input_height = max(
             int(h) for h in args.multi_height.split(",")
         )
+
+    anchors = None
+    if args.fit_anchors:
+        from effocr_tpu.data.coco import load_json
+        from effocr_tpu.train.localizer import fit_anchors
+
+        coco = load_json(args.train_coco)
+        dims = {im["id"]: (im["width"], im["height"])
+                for im in coco["images"]}
+        h_ref = args.input_height or args.input_size
+        wh = []
+        for a in coco["annotations"]:
+            w_img, h_img = dims[a["image_id"]]
+            r = min(h_ref / h_img, args.input_size / w_img)
+            wh.append((a["bbox"][2] * r, a["bbox"][3] * r))
+        import numpy as _np
+
+        fitted = fit_anchors(_np.asarray(wh, _np.float32))
+        anchors = tuple(
+            tuple(float(v) for v in fitted[3 * i : 3 * i + 3].reshape(-1))
+            for i in range(3)
+        )
+        print(f"fitted anchors (letterbox px, P3/P4/P5): {anchors}")
+
     with open(os.path.join(args.run_name, "model.json"), "w") as f:
         json.dump({"arch": args.arch, "num_classes": args.num_classes,
                    "input_size": args.input_size,
                    "input_height": args.input_height,
                    "input_channels": args.input_channels,
+                   "anchors": ([list(a) for a in anchors]
+                               if anchors else None),
                    "trained_heights": sorted(
                        int(h) for h in (
                            args.multi_height.split(",") if args.multi_height
@@ -129,7 +162,9 @@ def main():
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.num_epochs
 
-    model = create_localizer(args.arch, num_classes=args.num_classes)
+    loc_kw = {"anchors": anchors} if anchors else {}
+    model = create_localizer(args.arch, num_classes=args.num_classes,
+                             **loc_kw)
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     trainer = LocalizerTrainer(cfg, model, args.run_name, total_steps,
                                mesh=mesh, use_wandb=args.wandb)
