@@ -392,6 +392,29 @@ def main():
         )
         print(f"EffOCR | Textline accuracy = {acc} | CER = {cer}")
 
+        if args.save_output:
+            # machine-readable run record (throughput semantics match the
+            # reference: wall clock over the whole corpus incl. host decode,
+            # infer_effocr_onnx_multi.py:394-395)
+            with open(os.path.join(args.save_output, "metrics.json"),
+                      "w") as f:
+                json.dump({
+                    "n_lines": len(coco_images),
+                    "elapsed_s": round(elapsed, 3),
+                    "lines_per_sec": round(
+                        len(coco_images) / max(elapsed, 1e-9), 2),
+                    "textline_accuracy": acc,
+                    "cer": cer,
+                    "no_spaces_in_eval": args.no_spaces_eval,
+                    "norm_edit_distance": args.norm_edit,
+                    "uncased": args.uncased,
+                    "recognizer_dir": args.recognizer_dir,
+                    "localizer_dir": args.localizer_dir,
+                    "transfer_bits": args.transfer_bits,
+                    "adaptive_height": getattr(
+                        args, "adaptive_height", False),
+                }, f, indent=2)
+
         if args.compare_ocr:
             from PIL import Image
 
