@@ -41,10 +41,87 @@ def make_synthetic_lines(n, seed=0, chars_per_line=24):
     return lines
 
 
+def run_trained(spec):
+    """Coupled north-star bench: trained artifacts on a real held-out corpus.
+
+    `spec` (repo-root BENCH_TRAINED.json, or $BENCH_TRAINED_SPEC) pins the
+    exact engine flags + corpus of the demonstrated configuration, so the
+    recorded number is the honest trained-artifact one — throughput AND CER
+    from the same invocation (timing semantics match the reference:
+    infer_effocr_onnx_multi.py:394-395, host decode included).
+    """
+    import argparse
+
+    from effocr_tpu.cli.infer import add_engine_args, load_engine
+    from effocr_tpu.core.cache import enable_persistent_cache
+    from effocr_tpu.data.coco import load_json
+    from effocr_tpu.eval.textline import textline_evaluation
+
+    enable_persistent_cache()
+    p = argparse.ArgumentParser()
+    add_engine_args(p)
+    args = p.parse_args(spec["flags"])
+    engine = load_engine(args)
+
+    coco = load_json(spec["coco_json"])
+    images = coco["images"][: spec.get("max_lines", 4096)]
+    paths = [os.path.join(spec["image_dir"], x["file_name"]) for x in images]
+
+    engine.run(paths[: engine.config.line_batch])   # compile
+    engine.run(paths)                               # warm every chunk shape
+
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    samples, results = [], None
+    for _ in range(repeats):
+        start = time.time()
+        results = engine.run(paths)
+        samples.append(len(paths) / (time.time() - start))
+    lines_per_sec = float(np.median(samples))
+    print(f"# samples: {[round(s, 1) for s in samples]}", file=sys.stderr)
+
+    by_name = {os.path.basename(str(k)): v for k, v in results.items()}
+    pairs = [(x["text"], by_name.get(x["file_name"]) or "") for x in images]
+    acc, cer = textline_evaluation(
+        pairs, print_incorrect=False, no_spaces_in_eval=False,
+        norm_edit_distance=False, uncased=False,
+    )
+    target_per_chip = 5000.0 / 8.0
+    print(json.dumps({
+        "metric": "textline_images_per_sec_per_chip",
+        "value": round(lines_per_sec, 2),
+        "unit": "lines/s/chip",
+        "vs_baseline": round(lines_per_sec / target_per_chip, 4),
+        "weights": "trained",
+        "corpus": spec["coco_json"],
+        "n_lines": len(paths),
+        "cer": cer,
+        "textline_accuracy": acc,
+        "flags": spec["flags"],
+    }))
+
+
 def main():
     import jax
 
     from effocr_tpu.core.cache import enable_persistent_cache
+
+    spec_path = os.environ.get(
+        "BENCH_TRAINED_SPEC",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_TRAINED.json"),
+    )
+    if os.path.exists(spec_path) and not os.environ.get("BENCH_SYNTHETIC"):
+        with open(spec_path) as f:
+            spec = json.load(f)
+        # fall back to the synthetic bench when the pinned artifacts are
+        # not present on this host (fresh clone)
+        if all(os.path.exists(spec[k]) for k in
+               ("image_dir", "coco_json")) and all(
+                   os.path.exists(v) for v in spec.get("artifacts", [])):
+            run_trained(spec)
+            return
+        print("# BENCH_TRAINED.json present but artifacts missing -> "
+              "synthetic fallback", file=sys.stderr)
 
     enable_persistent_cache()
     import jax.numpy as jnp

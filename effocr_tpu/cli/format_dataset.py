@@ -44,6 +44,13 @@ def main():
 
     os.makedirs(args.crops_save_dir, exist_ok=True)
     os.makedirs(args.dataset_save_dir, exist_ok=True)
+    # record the crop geometry so train-recognizer can stamp it into
+    # model.json and inference can match it (core/config.py crop_geometry)
+    import json as _json
+    with open(os.path.join(args.dataset_save_dir, "dataset_meta.json"),
+              "w") as f:
+        _json.dump({"crop_geometry": "line" if args.clip_to_top_and_bottom
+                    else "tight"}, f)
 
     for cj in args.coco_jsons.split(","):
         coco = load_json(cj)

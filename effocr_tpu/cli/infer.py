@@ -190,6 +190,10 @@ def load_engine(args) -> EffOCRInference:
         spell_check_dict=args.dictionary_path,
         homoglyphs_path=args.homoglyphs,
         crop_source=args.crop_source,
+        crop_geometry=(
+            rec_meta.get("crop_geometry", "line")
+            if args.crop_geometry == "auto" else args.crop_geometry
+        ),
         retrieval_kernel=args.retrieval_kernel,
         transfer_bits=args.transfer_bits,
         line_batch=args.line_batch,
@@ -251,6 +255,17 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                         "Fused paths only (--crop_source letterbox)")
     p.add_argument("--crop_source", type=str, default="letterbox",
                    choices=["letterbox", "original"])
+    p.add_argument("--crop_geometry", type=str, default="auto",
+                   choices=["auto", "tight", "line"],
+                   help="crop rect extent on the non-reading axis: 'line' "
+                        "= full line content height (the reference's "
+                        "double-clipped crops, infer_effocr_onnx_multi.py"
+                        ":313-316), 'tight' = the detected box (matches "
+                        "trees built without --clip_to_top_and_bottom). "
+                        "'auto' reads the recognizer model.json "
+                        "crop_geometry field (falls back to 'line'). A "
+                        "mismatch with the training crops is catastrophic "
+                        "for en CER")
     p.add_argument("--crop_window", type=int, default=256,
                    help="static ROI slice size; must cover the max crop "
                         "side in canvas px (content height bound)")

@@ -103,11 +103,21 @@ def main():
     os.makedirs(args.run_name, exist_ok=True)
     with open(os.path.join(args.run_name, "args_log.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
-    # model identity for the inference loader (cli/infer.py load_engine)
+    # model identity for the inference loader (cli/infer.py load_engine).
+    # crop_geometry records how the training crops were cut (the tree's
+    # dataset_meta.json, written by format-dataset): inference crop rects
+    # must match it (core/config.py PipelineConfig.crop_geometry).  Trees
+    # predating the meta file came from our builder's default = tight.
+    crop_geometry = "tight"
+    meta_path = os.path.join(args.root_dir_path, "dataset_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            crop_geometry = json.load(f).get("crop_geometry", "tight")
     with open(os.path.join(args.run_name, "model.json"), "w") as f:
         json.dump({"arch": args.auto_model, "image_size": args.imsize,
                    "num_classes": args.N_classes,
-                   "input_channels": args.input_channels}, f)
+                   "input_channels": args.input_channels,
+                   "crop_geometry": crop_geometry}, f)
 
     cfg = RecognizerTrainConfig(
         encoder=EncoderConfig(

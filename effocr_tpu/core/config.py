@@ -104,6 +104,19 @@ class PipelineConfig:
     # resolution image, byte-matching reference semantics
     # (infer_effocr_onnx_multi.py:307-318).
     crop_source: str = "letterbox"
+    # Crop rect geometry along the non-reading axis — MUST match how the
+    # recognizer's training crops were built (the artifact contract; the
+    # loader resolves it from the recognizer's model.json):
+    #   "line":  clip to the full line content height (width if vertical),
+    #            the reference's "double-clipped" inference crops
+    #            (infer_effocr_onnx_multi.py:313-316) — pair with trees
+    #            built `format-dataset --clip_to_top_and_bottom`.
+    #   "tight": the detected box itself, matching trees built without
+    #            the clip flag (our format-dataset default).  A geometry
+    #            mismatch here is catastrophic for en (narrow glyphs in a
+    #            full-height frame are far outside the training
+    #            distribution: CER 0.06 -> 0.85 measured).
+    crop_geometry: str = "line"
     # 1 = grayscale pipeline: 3x fewer host->device bytes (the hot-link
     # bottleneck); printed documents carry no chroma.  Models must be
     # trained with the same channel count.

@@ -346,6 +346,10 @@ def import_reference_recognizer_dir(
     with open(os.path.join(out_dir, "model.json"), "w") as f:
         json.dump({"arch": name, "image_size": image_size,
                    "num_classes": None, "input_channels": 3,
+                   # reference inference always cuts full-line-height
+                   # crops (infer_effocr_onnx_multi.py:313-316), so a
+                   # working reference artifact implies line geometry
+                   "crop_geometry": "line",
                    "imported_from": os.path.abspath(src_dir)}, f)
 
     idx_path = os.path.join(src_dir, "ref.index")

@@ -247,7 +247,12 @@ class EffOCRInference:
             rx1 = jnp.round(flat_boxes[:, 2] + pad).astype(jnp.int32)
             ry0 = jnp.round(flat_boxes[:, 1] - pad).astype(jnp.int32)
             ry1 = jnp.round(flat_boxes[:, 3] + pad).astype(jnp.int32)
-            if c.vertical:
+            if c.crop_geometry == "tight":
+                # box-exact crops: match encoders trained on unclipped
+                # PAIRED crops (format-dataset default; config.py
+                # crop_geometry)
+                rects = jnp.stack([rx0, ry0, rx1, ry1], axis=1)
+            elif c.vertical:
                 rects = jnp.stack([left, ry0, left + nw, ry1], axis=1)
             else:
                 rects = jnp.stack([rx0, top, rx1, top + nh], axis=1)
@@ -809,7 +814,14 @@ class EffOCRInference:
 
             for b in char_sorted:
                 if c.crop_source == "letterbox":
-                    if c.vertical:
+                    if c.crop_geometry == "tight":
+                        rect = [
+                            int(round(b[0] - c.box_pad)),
+                            int(round(b[1] - c.box_pad)),
+                            int(round(b[2] + c.box_pad)),
+                            int(round(b[3] + c.box_pad)),
+                        ]
+                    elif c.vertical:
                         rect = [
                             meta["left"], int(round(b[1] - c.box_pad)),
                             meta["left"] + meta["new_w"],
@@ -834,7 +846,18 @@ class EffOCRInference:
                     # and the two formulas agree digit-for-digit there).
                     raw = chunk[i]
                     pad = c.box_pad
-                    if c.vertical:
+                    if c.crop_geometry == "tight":
+                        x0 = round((round(b[0] - pad) - meta["left"])
+                                   / meta["r"])
+                        x1 = round((round(b[2] + pad) - meta["left"])
+                                   / meta["r"])
+                        y0 = round((round(b[1] - pad) - meta["top"])
+                                   / meta["r"])
+                        y1 = round((round(b[3] + pad) - meta["top"])
+                                   / meta["r"])
+                        crop = raw[max(int(y0), 0):max(int(y1), 0),
+                                   max(int(x0), 0):max(int(x1), 0), :]
+                    elif c.vertical:
                         y0 = round((round(b[1] - pad) - meta["top"])
                                    / meta["r"])
                         y1 = round((round(b[3] + pad) - meta["top"])

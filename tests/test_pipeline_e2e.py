@@ -173,6 +173,60 @@ def test_pipeline_reads_synthetic_lines(engine_parts, crop_source):
         assert results[i] == t, (crop_source, results[i], t)
 
 
+@pytest.mark.parametrize("crop_source", ["letterbox", "original"])
+def test_pipeline_tight_crop_geometry(crop_source):
+    """crop_geometry='tight' cuts the detected box itself (both axes), not
+    the reference's full-line-height crops — the mode matching trees built
+    without --clip_to_top_and_bottom.  Prototypes here are TIGHT glyph
+    crops, so with the toy scale-sensitive encoder the text only decodes
+    if the pipeline's crop rects are tight too (regression: a
+    geometry mismatch took en CER from 0.06 to 0.85 on trained
+    artifacts)."""
+    encoder = TinyEncoder()
+    enc_vars = encoder.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 224, 224, 3))
+    )
+    embed = jax.jit(lambda x: encoder.apply(enc_vars, x, train=False))
+    protos = []
+    for c in CHARS:
+        img, boxes, _ = make_line(c)
+        x0, y0, x1, y1 = boxes[0]
+        protos.append(paired_transform_host(img[y0:y1, x0:x1]))
+    index = PrototypeIndex(
+        np.asarray(embed(jnp.asarray(np.stack(protos)))), CHARS
+    )
+    texts = ["AbX oT", "kXo bA"]
+    lines = [make_line(t) for t in texts]
+    imgs = [l[0] for l in lines]
+    lb_char_boxes = [
+        to_letterbox_space(l[1], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    lb_word_boxes = [
+        to_letterbox_space(l[2], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    decoded = make_decoded_predictions(
+        lb_char_boxes, lb_word_boxes, [None] * len(lines)
+    )
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                  max_det=64, max_nms=64),
+        encoder=EncoderConfig(arch="tiny"),
+        line_batch=2,
+        crop_batch=32,
+        crop_source=crop_source,
+        crop_geometry="tight",
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run(imgs)
+    for i, t in enumerate(texts):
+        assert results[i] == t, (crop_source, results[i], t)
+
+
 def test_pipeline_4bit_transfer_matches(engine_parts):
     """transfer_bits=4/2 (sub-byte packed upload + on-device unpack)
     decode the same text as the raw uint8 path on near-binary printed
