@@ -150,10 +150,12 @@ def load_engine(args) -> EffOCRInference:
     # actually trained on (model.json trained_heights; absent for runs
     # predating the field -> warn instead of silently degrading)
     height_floor = None
+    height_cap = None
     if args.adaptive_height:
         trained = loc_meta.get("trained_heights")
         if trained:
             height_floor = min(trained)
+            height_cap = max(trained)
             if height_floor >= (args.input_height or size):
                 print(
                     f"--adaptive_height: detector trained only at height "
@@ -185,6 +187,7 @@ def load_engine(args) -> EffOCRInference:
                               image_size=imsize, input_channels=rec_ch),
         input_channels=loc_ch,
         adaptive_height_floor=height_floor,
+        adaptive_height_cap=height_cap,
         anchor_margin=args.anchor_margin,
         spell_check=args.spell_check,
         spell_check_dict=args.dictionary_path,

@@ -153,6 +153,13 @@ class PipelineConfig:
     # localizer's model.json so adaptive tiers stay inside the training
     # distribution.  None = unguarded (trust the caller).
     adaptive_height_floor: Optional[int] = None
+    # Largest tier adaptive_height may pick (the ceiling twin of the
+    # floor): set to max(trained_heights) by the loader.  Content needing
+    # a taller canvas is height-bound at this tier instead of escalating
+    # to a canvas the detector never saw (e.g. 65-px lines on a 1024-wide
+    # canvas "need" 128, but a 64/96-trained detector should get the
+    # 96 tier and let letterbox downscale).  None = cap at input_height.
+    adaptive_height_cap: Optional[int] = None
     # static ROI slice size; must cover the max crop side in letterbox px
     # (side = max(char width, line content height)); smaller = fewer MXU
     # FLOPs in the crop kernel

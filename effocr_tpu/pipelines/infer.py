@@ -547,6 +547,10 @@ class EffOCRInference:
         cap = c.localizer.input_height or size_w
         if not c.adaptive_height or c.vertical:
             return cap
+        if c.adaptive_height_cap:
+            # never escalate past the tallest trained tier: letterbox
+            # height-binds there instead (config.py adaptive_height_cap)
+            cap = min(cap, c.adaptive_height_cap)
         # floor at the smallest canvas height the detector trained on —
         # tiers outside the training distribution cost CER
         # (BENCH_ACCURACY.md "Known interaction")

@@ -482,6 +482,46 @@ def test_pipeline_adaptive_canvas_height(engine_parts):
         assert results[i] == t, (tier, results[i], t)
 
 
+def test_adaptive_height_floor_and_cap(engine_parts):
+    """Tier selection stays inside [floor, cap] = the detector's trained
+    height range: short lines don't drop below the floor, and lines whose
+    width-bound content height exceeds the cap letterbox down at the cap
+    tier instead of escalating to a canvas the detector never saw."""
+    encoder, enc_vars, index = engine_parts
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(input_size=1024, input_height=None),
+        encoder=EncoderConfig(arch="tiny"),
+        adaptive_height=True,
+        adaptive_height_floor=64,
+        adaptive_height_cap=96,
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(np.zeros((2, 4, 7), np.float32)), {},
+        encoder, enc_vars, index
+    )
+    # 65-px-tall, 532-px-wide line: width-bound content height would be
+    # ceil(65*1024/532)=126 -> tier 128 without the cap
+    tall = [np.zeros((65, 532, 3), np.uint8)]
+    assert engine._chunk_canvas_height(tall) == 96
+    # tiny line: need < floor -> floor tier
+    short = [np.zeros((10, 1024, 3), np.uint8)]
+    assert engine._chunk_canvas_height(short) == 64
+    # no cap -> escalates as before
+    cfg_uncapped = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(input_size=1024, input_height=None),
+        encoder=EncoderConfig(arch="tiny"),
+        adaptive_height=True,
+        adaptive_height_floor=64,
+    )
+    engine2 = EffOCRInference(
+        cfg_uncapped, StubLocalizer(np.zeros((2, 4, 7), np.float32)), {},
+        encoder, enc_vars, index
+    )
+    assert engine2._chunk_canvas_height(tall) == 128
+
+
 def test_pipeline_box_pad(engine_parts):
     """box_pad plumbs through the fused path; pad 0 matches default, and
     a huge pad changes crops (merging neighbors) without crashing."""
