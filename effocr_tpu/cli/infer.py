@@ -182,6 +182,8 @@ def load_engine(args) -> EffOCRInference:
             input_channels=loc_ch,
             conf_thresh=args.localizer_conf_thresh,
             iou_thresh=args.localizer_iou_thresh,
+            max_nms=args.max_nms,
+            max_det=args.max_det,
         ),
         encoder=EncoderConfig(arch=rec_meta.get("arch", "convnext_tiny"),
                               image_size=imsize, input_channels=rec_ch),
@@ -201,6 +203,8 @@ def load_engine(args) -> EffOCRInference:
         transfer_bits=args.transfer_bits,
         line_batch=args.line_batch,
         crop_batch=args.crop_batch,
+        encoder_sub_batch=args.encoder_sub_batch,
+        prefetch_chunks=args.prefetch_chunks,
         adaptive_height=args.adaptive_height,
         crop_window=args.crop_window,
         box_pad=args.box_pad,
@@ -276,6 +280,23 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="lines per fused device dispatch (throughput "
                         "scales with chunk size behind a remote chip)")
     p.add_argument("--crop_batch", type=int, default=512)
+    p.add_argument("--max_nms", type=int, default=1024,
+                   help="NMS candidate cap per line (fixed-shape stand-in "
+                        "for the reference's max_nms=30000; suppression "
+                        "work is O(max_nms^2) so size to the workload — "
+                        "text lines carry <=~100 raw candidates)")
+    p.add_argument("--max_det", type=int, default=1000,
+                   help="kept detections per line after NMS "
+                        "(localizer_engine.py:62 max_det=1000; tighter "
+                        "caps shrink the sort + crop-key work)")
+    p.add_argument("--encoder_sub_batch", type=int, default=None,
+                   help="run the encoder over crop_batch crops in "
+                        "sub-batches of this size inside the fused "
+                        "program (lax.map) — bounds encoder HBM at "
+                        "large crop_batch")
+    p.add_argument("--prefetch_chunks", type=int, default=3,
+                   help="host prep/dispatch pipeline depth (chunks in "
+                        "flight behind the async device queue)")
     p.add_argument("--data_parallel", action="store_true", default=False,
                    help="shard the fused chunk programs over all visible "
                         "devices (jax.shard_map over a 'data' mesh; each "
