@@ -206,6 +206,9 @@ def load_engine(args) -> EffOCRInference:
         encoder_sub_batch=args.encoder_sub_batch,
         prefetch_chunks=args.prefetch_chunks,
         adaptive_height=args.adaptive_height,
+        adaptive_height_mode=args.adaptive_height_mode,
+        adaptive_width=args.adaptive_width,
+        chunk_sort=args.chunk_sort,
         crop_window=args.crop_window,
         box_pad=args.box_pad,
         tile_min_content_h=args.tile_min_h,
@@ -304,6 +307,22 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                         "v5e-8 serving scale-out)")
     p.add_argument("--adaptive_height", action="store_true", default=False,
                    help="per-chunk stride-32 canvas height tier")
+    p.add_argument("--adaptive_height_mode", type=str, default="fill",
+                   choices=["fill", "native"],
+                   help="tier rule: 'fill' maximizes glyph resolution "
+                        "(upscales to the tier); 'native' picks the "
+                        "trained tier nearest the raw line height, "
+                        "keeping letterbox scale ~1 (2-3x fewer canvas "
+                        "pixels; A/B CER before adopting)")
+    p.add_argument("--adaptive_width", action="store_true", default=False,
+                   help="trim the canvas reading axis to the chunk's "
+                        "content extent at the unchanged letterbox scale "
+                        "(decode-exact; pair with --chunk_sort width)")
+    p.add_argument("--chunk_sort", type=str, default="none",
+                   choices=["none", "width"],
+                   help="'width' groups lines of similar reading-axis "
+                        "length into chunks so adaptive canvas tiers "
+                        "bind per chunk (output is keyed, order-safe)")
     p.add_argument("--transfer_bits", type=int, default=8,
                    choices=[2, 4, 8],
                    help="4 = nibble-packed host->device upload (fused "

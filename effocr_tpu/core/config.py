@@ -160,6 +160,34 @@ class PipelineConfig:
     # canvas "need" 128, but a 64/96-trained detector should get the
     # 96 tier and let letterbox downscale).  None = cap at input_height.
     adaptive_height_cap: Optional[int] = None
+    # Adaptive-height tier rule:
+    #   "fill":   smallest tier whose height holds the content at the
+    #             width-bound scale r = input_size/w — maximizes glyph
+    #             resolution (upscales short-and-narrow lines).
+    #   "native": tier nearest the chunk's tallest raw line height
+    #             (clamped to [floor, cap]) — keeps r ~= 1 instead of
+    #             upscaling, cutting canvas pixels/bytes ~2-3x on
+    #             newspaper lines.  Both tiers must be in the detector's
+    #             trained_heights; "native" trades crop resolution for
+    #             throughput, so A/B CER before adopting.
+    adaptive_height_mode: str = "fill"
+    # Adaptive canvas width (reading-axis length; trims canvas HEIGHT when
+    # vertical): shrink the canvas's long axis to the chunk's content
+    # extent at the UNCHANGED letterbox scale r = min(input_size/w,
+    # canvas_h/h) — r is still computed against the full input_size, so
+    # every glyph lands at identical scale/position and the decode is
+    # exact; only trailing 114-gray padding columns are dropped.  Wins are
+    # largest with chunk_sort="width" (similar-length lines share chunks).
+    # Each distinct (height, width) canvas compiles one program variant;
+    # widths are bucketed to adaptive_width_stride.  Fused letterbox
+    # canvas paths only (transfer "canvas", crop_source "letterbox").
+    adaptive_width: bool = False
+    adaptive_width_stride: int = 128
+    # "width": sort lines by reading-axis length before chunking so
+    # adaptive_width tiers bind per chunk (results are keyed by path/index,
+    # so order never leaks into the output contract).  "none" preserves
+    # input order end to end.
+    chunk_sort: str = "none"
     # static ROI slice size; must cover the max crop side in letterbox px
     # (side = max(char width, line content height)); smaller = fewer MXU
     # FLOPs in the crop kernel

@@ -428,7 +428,6 @@ class EffOCRInference:
         contract of run_effocr (infer_effocr_onnx_multi.py:388-397).
         """
         c = self.config
-        size = c.localizer.input_size
         results: Dict = {}
         coco_boxes: Dict = {}
 
@@ -496,6 +495,21 @@ class EffOCRInference:
             if not tile_ctx:
                 tile_ctx = None
 
+        # width-sorted chunking: group lines of similar reading-axis
+        # length so adaptive_width canvas tiers bind per chunk.  Results
+        # are keyed by path/index, so input order never reaches the
+        # output contract.  (Runs after tiling — tiles carry their own
+        # lengths.)
+        if c.chunk_sort == "width" and len(raws) > 1:
+            ax = 0 if c.vertical else 1
+            order = sorted(
+                range(len(raws)),
+                key=lambda i: raws[i].shape[ax],
+                reverse=True,
+            )
+            raws = [raws[i] for i in order]
+            keys = [keys[i] for i in order]
+
         # software-pipelined two ways: (1) jax dispatch is async, so the
         # device runs chunk k while the host post-processes k-1; (2) host
         # prep (letterbox + transfer) of chunk k+1 runs on a worker thread,
@@ -555,16 +569,61 @@ class EffOCRInference:
         # tiers outside the training distribution cost CER
         # (BENCH_ACCURACY.md "Known interaction")
         need = c.adaptive_height_floor or 32
+        if c.adaptive_height_mode == "native":
+            # tier nearest the tallest raw line: letterbox scale stays
+            # ~1 instead of upscaling to fill the tier (config.py
+            # adaptive_height_mode)
+            hmax = max((raw.shape[0] for raw in chunk), default=cap)
+            tier = max(32, int(np.round(hmax / 32.0)) * 32)
+            return int(np.clip(tier, need, cap))
         for raw in chunk:
             h, w = raw.shape[:2]
             need = max(need, min(cap, int(np.ceil(h * size_w / w))))
         return min(cap, -(-need // 32) * 32)
 
+    def _chunk_canvas_dims(self, chunk) -> Tuple[int, int]:
+        """(canvas_h, canvas_w) for this chunk: the adaptive height tier
+        plus an optional content-trim of the reading axis.
+
+        adaptive_width drops trailing padding columns (rows, if vertical)
+        beyond the chunk's content extent at the UNCHANGED letterbox scale
+        — r is still computed against the full canvas dims, so glyph
+        geometry is identical and the decode is exact (config.py
+        adaptive_width)."""
+        c = self.config
+        full_w = c.localizer.input_size
+        size_h = self._chunk_canvas_height(chunk)
+        if (
+            not c.adaptive_width
+            or c.transfer == "bucket"
+            or c.crop_source != "letterbox"
+            or not chunk
+        ):
+            return size_h, full_w
+        stride = max(32, c.adaptive_width_stride)
+        if c.vertical:
+            # vertical lines read down the canvas height: trim that axis
+            need = 0
+            for raw in chunk:
+                h, w = raw.shape[:2]
+                r = min(full_w / w, size_h / h)
+                need = max(need, int(np.ceil(h * r)))
+            # +32 slack keeps content off the trimmed edge (train-time
+            # canvases padded width-bound lines on both sides)
+            trim_h = min(size_h, -(-(need + 32) // stride) * stride)
+            return trim_h, full_w
+        need = 0
+        for raw in chunk:
+            h, w = raw.shape[:2]
+            r = min(full_w / w, size_h / h)
+            need = max(need, int(np.ceil(w * r)))
+        trim_w = min(full_w, -(-(need + 32) // stride) * stride)
+        return size_h, trim_w
+
     def _dispatch_chunk(self, chunk, chunk_keys):
         """Host letterbox + transfer + async detect dispatch."""
         c = self.config
-        size_w = c.localizer.input_size
-        size_h = self._chunk_canvas_height(chunk)
+        size_h, size_w = self._chunk_canvas_dims(chunk)
         n = len(chunk)
         from effocr_tpu import native
 

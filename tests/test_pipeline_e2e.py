@@ -720,3 +720,108 @@ def test_pipeline_tall_vertical_tiling(engine_parts):
     )
     results = engine.run([img])
     assert results[0] == text, (results[0], text)
+
+
+def test_pipeline_adaptive_width_and_chunk_sort(engine_parts):
+    """adaptive_width trims the canvas reading axis at the UNCHANGED
+    letterbox scale (r computed against the full input_size), and
+    chunk_sort='width' reorders lines before chunking while results stay
+    keyed by input index — decode is exact under both."""
+    encoder, enc_vars, index = engine_parts
+    texts = ["AbX oT", "kXobAkXobA bXoT", "bA X"]
+    lines = [make_line(t) for t in texts]
+    imgs = [l[0] for l in lines]
+
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                  max_det=64, max_nms=64,
+                                  input_size=1024, input_height=96),
+        encoder=EncoderConfig(arch="tiny"),
+        adaptive_width=True,
+        adaptive_width_stride=64,
+        chunk_sort="width",
+        line_batch=3,
+        crop_batch=64,
+    )
+    # mirror the engine: sorted by width desc, then trimmed canvas dims
+    order = sorted(range(len(imgs)), key=lambda i: imgs[i].shape[1],
+                   reverse=True)
+    s_imgs = [imgs[i] for i in order]
+    probe = EffOCRInference(
+        cfg, StubLocalizer(np.zeros((4, 4, 7), np.float32)), {},
+        encoder, enc_vars, index,
+    )
+    size_h, trim_w = probe._chunk_canvas_dims(s_imgs)
+    assert trim_w < 1024, "test corpus should actually trim"
+    # scale must match the full-width canvas for every line
+    for im in s_imgs:
+        h, w = im.shape[:2]
+        r_full, _, _ = letterbox_params(h, w, (size_h, 1024))
+        r_trim, _, _ = letterbox_params(h, w, (size_h, trim_w))
+        assert r_full == pytest.approx(r_trim), (r_full, r_trim)
+
+    lb = lambda boxes, im: [
+        [x0 * r + left, y0 * r + top, x1 * r + left, y1 * r + top]
+        for (x0, y0, x1, y1) in boxes
+        for r, _, (top, _, left, _) in
+        [letterbox_params(im.shape[0], im.shape[1], (size_h, trim_w))]
+    ]
+    # decoded rows follow the SORTED order (that is what the device sees)
+    decoded = make_decoded_predictions(
+        [lb(lines[i][1], imgs[i]) for i in order],
+        [lb(lines[i][2], imgs[i]) for i in order],
+        [None] * len(order),
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run(imgs)
+    for i, t in enumerate(texts):
+        assert results[i] == t, (i, results[i], t)
+
+
+def test_chunk_canvas_dims_unit(engine_parts):
+    """_chunk_canvas_dims: exact-scale trim math, horizontal + vertical."""
+    encoder, enc_vars, index = engine_parts
+    stub = StubLocalizer(np.zeros((2, 4, 7), np.float32))
+
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(input_size=1024, input_height=96),
+        adaptive_width=True, adaptive_width_stride=128,
+    )
+    eng = EffOCRInference(cfg, stub, {}, encoder, enc_vars, index)
+    # 65-px line, 532 wide: r = min(1024/532, 96/65) = 96/65; content
+    # width = ceil(532*96/65) = 786 -> +32 slack -> tier 896
+    (h, w) = eng._chunk_canvas_dims([np.zeros((65, 532, 3), np.uint8)])
+    assert (h, w) == (96, 896), (h, w)
+    # width-bound wide line: full canvas, no trim
+    (h, w) = eng._chunk_canvas_dims([np.zeros((65, 1600, 3), np.uint8)])
+    assert w == 1024, (h, w)
+
+    # vertical: trim the canvas height (the reading axis)
+    cfg_v = PipelineConfig(
+        lang="jp", vertical=True,
+        localizer=LocalizerConfig(input_size=96, input_height=640,
+                                  num_classes=1),
+        adaptive_width=True, adaptive_width_stride=128,
+    )
+    eng_v = EffOCRInference(cfg_v, stub, {}, encoder, enc_vars, index)
+    # 70-px-wide, 300-tall: r = min(96/70, 640/300) = 96/70; content
+    # height = ceil(300*96/70) = 412 -> +32 -> tier 512
+    (h, w) = eng_v._chunk_canvas_dims([np.zeros((300, 70, 3), np.uint8)])
+    assert (h, w) == (512, 96), (h, w)
+
+    # native height mode: tier nearest the raw height, clamped
+    cfg_n = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(input_size=1024, input_height=96),
+        adaptive_height=True, adaptive_height_mode="native",
+        adaptive_height_floor=64, adaptive_height_cap=96,
+    )
+    eng_n = EffOCRInference(cfg_n, stub, {}, encoder, enc_vars, index)
+    assert eng_n._chunk_canvas_height(
+        [np.zeros((65, 532, 3), np.uint8)]) == 64
+    assert eng_n._chunk_canvas_height(
+        [np.zeros((90, 532, 3), np.uint8)]) == 96
