@@ -47,6 +47,79 @@ from effocr_tpu.retrieval.index import PrototypeIndex
 
 logger = logging.getLogger(__name__)
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_header(path: str) -> Optional[Tuple[int, int, int, int]]:
+    """(h, w, color_type, bit_depth) from a PNG IHDR without decoding the
+    pixel data, or None when the file is not a PNG (caller falls back to a
+    PIL header probe)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(33)
+    except OSError:
+        return None
+    if len(head) < 33 or head[:8] != _PNG_MAGIC or head[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(head[16:20], "big")
+    h = int.from_bytes(head[20:24], "big")
+    return h, w, head[25], head[24]
+
+
+class _LazyImage:
+    """Deferred image decode for the inference input pipeline.
+
+    The shape comes from the image header (PNG IHDR fast path, PIL probe
+    otherwise) so chunk planning (width-sorted chunking, adaptive canvas
+    tiers, tiling plans) never forces a decode; the pixels decode on first
+    load(), which happens inside the prep worker thread — overlapping PNG
+    inflation with device execution of earlier chunks instead of paying it
+    serially up front.  Repeated paths share one instance and decode once
+    (the reference decodes on its localizer thread pool for the same
+    reason, infer_effocr_onnx_multi.py:166-182).
+
+    gray=True (grayscale pipelines, input_channels == 1) loads 8-bit
+    single-channel PNGs as [H, W, 1] directly, skipping the historical
+    L -> RGB -> channel-mean round trip; RGB sources still load as RGB so
+    the native channel-mean gray conversion stays bit-identical.
+    """
+
+    __slots__ = ("path", "_shape", "_arr")
+
+    def __init__(self, path: str, gray: bool):
+        self.path = path
+        self._arr: Optional[np.ndarray] = None
+        hdr = _png_header(path)
+        if hdr is not None:
+            h, w, color_type, bit_depth = hdr
+            ch = 1 if (gray and color_type == 0 and bit_depth == 8) else 3
+        else:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                w, h = im.size
+                ch = 1 if (gray and im.mode == "L") else 3
+        self._shape = (h, w, ch)
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self._shape
+
+    def load(self) -> np.ndarray:
+        if self._arr is None:
+            from PIL import Image
+
+            with Image.open(self.path) as im:
+                if self._shape[2] == 1:
+                    self._arr = np.asarray(im.convert("L"))[..., None]
+                else:
+                    self._arr = np.asarray(im.convert("RGB"))
+        return self._arr
+
+
+def _materialize(img) -> np.ndarray:
+    return img.load() if isinstance(img, _LazyImage) else img
+
 
 def build_inference_coco(coco_boxes: Dict) -> Dict:
     """COCO-format prediction output: per-line image entries (with decoded
@@ -435,24 +508,19 @@ class EffOCRInference:
             img if isinstance(img, str) else i
             for i, img in enumerate(images)
         ]
-        # threaded decode (PIL releases the GIL); repeated paths (e.g.
-        # --n_repeats timing runs) decode once
-        paths = [img for img in images if isinstance(img, str)]
-        if len(paths) >= 8:
-            from concurrent.futures import ThreadPoolExecutor
-
-            uniq = list(dict.fromkeys(paths))
-            with ThreadPoolExecutor(16) as pool:
-                decoded = dict(
-                    zip(uniq, pool.map(self._load_image, uniq))
-                )
-            raws = [
-                decoded[img] if isinstance(img, str)
-                else self._load_image(img)
-                for img in images
-            ]
-        else:
-            raws = [self._load_image(img) for img in images]
+        # deferred decode: shapes come from image headers (cheap), pixels
+        # decode per chunk inside the prep worker — overlapped with device
+        # execution instead of a serial up-front pass.  Repeated paths
+        # (e.g. --n_repeats timing runs) share one entry and decode once.
+        lazy: Dict[str, _LazyImage] = {}
+        raws: List = []
+        for img in images:
+            if isinstance(img, str):
+                if img not in lazy:
+                    lazy[img] = _LazyImage(img, gray=c.input_channels == 1)
+                raws.append(lazy[img])
+            else:
+                raws.append(self._load_image(img))
 
         # wide-line tiling: split extreme-aspect lines into overlapping
         # windows (each rides the pipeline as a normal line; per-tile
@@ -486,9 +554,10 @@ class EffOCRInference:
                     continue
                 tile_ctx[key] = {"n": len(plan), "plan": plan, "h": h,
                                  "w": w, "parts": {}}
+                pix = _materialize(raw)
                 for t, tile in enumerate(plan):
-                    sub = (raw[tile.start : tile.stop] if c.vertical
-                           else raw[:, tile.start : tile.stop])
+                    sub = (pix[tile.start : tile.stop] if c.vertical
+                           else pix[:, tile.start : tile.stop])
                     exp_raws.append(np.ascontiguousarray(sub))
                     exp_keys.append(TileKey(key, t))
             raws, keys = exp_raws, exp_keys
@@ -621,8 +690,12 @@ class EffOCRInference:
         return size_h, trim_w
 
     def _dispatch_chunk(self, chunk, chunk_keys):
-        """Host letterbox + transfer + async detect dispatch."""
+        """Host decode + letterbox + transfer + async detect dispatch.
+
+        Runs on the prep worker thread: lazy images decode here, so PNG
+        inflation overlaps device execution of the previous chunks."""
         c = self.config
+        chunk = [_materialize(im) for im in chunk]
         size_h, size_w = self._chunk_canvas_dims(chunk)
         n = len(chunk)
         from effocr_tpu import native
