@@ -50,10 +50,10 @@ logger = logging.getLogger(__name__)
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_header(path: str) -> Optional[Tuple[int, int, int, int]]:
-    """(h, w, color_type, bit_depth) from a PNG IHDR without decoding the
-    pixel data, or None when the file is not a PNG (caller falls back to a
-    PIL header probe)."""
+def _png_header(path: str) -> Optional[Tuple[int, int, int, int, int]]:
+    """(h, w, color_type, bit_depth, interlace) from a PNG IHDR without
+    decoding the pixel data, or None when the file is not a PNG (caller
+    falls back to a PIL header probe)."""
     try:
         with open(path, "rb") as f:
             head = f.read(33)
@@ -63,7 +63,7 @@ def _png_header(path: str) -> Optional[Tuple[int, int, int, int]]:
         return None
     w = int.from_bytes(head[16:20], "big")
     h = int.from_bytes(head[20:24], "big")
-    return h, w, head[25], head[24]
+    return h, w, head[25], head[24], head[28]
 
 
 class _LazyImage:
@@ -78,21 +78,33 @@ class _LazyImage:
     (the reference decodes on its localizer thread pool for the same
     reason, infer_effocr_onnx_multi.py:166-182).
 
-    gray=True (grayscale pipelines, input_channels == 1) loads 8-bit
-    single-channel PNGs as [H, W, 1] directly, skipping the historical
-    L -> RGB -> channel-mean round trip; RGB sources still load as RGB so
-    the native channel-mean gray conversion stays bit-identical.
+    Common PNGs (8-bit, gray/RGB, non-interlaced) decode through the
+    first-party native decoder (native/preproc.cpp decode_png_batch —
+    libdeflate inflate + unfilter, ~4x faster than PIL on line corpora);
+    everything else falls back to PIL.
+
+    gray=True (grayscale pipelines, input_channels == 1) loads straight to
+    [H, W, 1]: gray PNGs decode as-is; RGB sources reduce via the
+    truncating channel mean ((r+g+b)//3 — identical to the numpy
+    .mean(-1).astype(uint8) the gray pipeline applies, in native code and
+    in the PIL fallback alike).
     """
 
-    __slots__ = ("path", "_shape", "_arr")
+    __slots__ = ("path", "_shape", "_arr", "_native")
 
     def __init__(self, path: str, gray: bool):
         self.path = path
         self._arr: Optional[np.ndarray] = None
+        self._native = False
         hdr = _png_header(path)
         if hdr is not None:
-            h, w, color_type, bit_depth = hdr
-            ch = 1 if (gray and color_type == 0 and bit_depth == 8) else 3
+            h, w, color_type, bit_depth, interlace = hdr
+            self._native = (
+                bit_depth == 8 and color_type in (0, 2) and interlace == 0
+            )
+            ch = 1 if (gray and (
+                self._native or (color_type == 0 and bit_depth == 8)
+            )) else 3
         else:
             from PIL import Image
 
@@ -107,11 +119,25 @@ class _LazyImage:
 
     def load(self) -> np.ndarray:
         if self._arr is None:
+            if self._native:
+                from effocr_tpu import native
+
+                if native.available():
+                    arr = native.decode_png(self.path, *self._shape)
+                    if arr is not None:
+                        self._arr = arr
+                        return self._arr
             from PIL import Image
 
             with Image.open(self.path) as im:
                 if self._shape[2] == 1:
-                    self._arr = np.asarray(im.convert("L"))[..., None]
+                    if im.mode == "L":
+                        self._arr = np.asarray(im)[..., None]
+                    else:
+                        rgb = np.asarray(im.convert("RGB"))
+                        self._arr = rgb.mean(
+                            axis=-1, keepdims=True
+                        ).astype(np.uint8)
                 else:
                     self._arr = np.asarray(im.convert("RGB"))
         return self._arr
@@ -119,6 +145,29 @@ class _LazyImage:
 
 def _materialize(img) -> np.ndarray:
     return img.load() if isinstance(img, _LazyImage) else img
+
+
+def _materialize_batch(chunk: List) -> List[np.ndarray]:
+    """Decode a chunk's lazy images in one native batch call (thread-pool
+    PNG decode); repeated paths share one _LazyImage and decode once.
+    Non-native formats and failed statuses fall back to PIL per image."""
+    todo = {
+        id(im): im
+        for im in chunk
+        if isinstance(im, _LazyImage) and im._arr is None and im._native
+    }
+    if todo:
+        from effocr_tpu import native
+
+        if native.available():
+            ims = list(todo.values())
+            arrs, _ = native.decode_png_batch(
+                [im.path for im in ims], [im.shape for im in ims]
+            )
+            for im, arr in zip(ims, arrs):
+                if arr is not None:
+                    im._arr = arr
+    return [_materialize(im) for im in chunk]
 
 
 def build_inference_coco(coco_boxes: Dict) -> Dict:
@@ -695,7 +744,7 @@ class EffOCRInference:
         Runs on the prep worker thread: lazy images decode here, so PNG
         inflation overlaps device execution of the previous chunks."""
         c = self.config
-        chunk = [_materialize(im) for im in chunk]
+        chunk = _materialize_batch(chunk)
         size_h, size_w = self._chunk_canvas_dims(chunk)
         n = len(chunk)
         from effocr_tpu import native

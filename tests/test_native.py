@@ -103,3 +103,98 @@ def test_letterbox_gray_batch_matches_numpy_path(rng):
         [np.ascontiguousarray(g) for g in gray], 640, out_h=64, pack_bits=8
     )
     np.testing.assert_array_equal(out1, ref[..., 0])
+
+
+def _save_png(tmp_path, name, arr, **kw):
+    from PIL import Image
+
+    p = str(tmp_path / name)
+    Image.fromarray(arr).save(p, **kw)
+    return p
+
+
+def test_decode_png_rgb_parity(tmp_path, rng):
+    from PIL import Image
+
+    arrs = [
+        rng.integers(0, 255, (48, 700, 3)).astype(np.uint8),
+        rng.integers(0, 255, (64, 120, 3)).astype(np.uint8),
+    ]
+    paths = [_save_png(tmp_path, f"rgb{i}.png", a) for i, a in enumerate(arrs)]
+    out, status = native.decode_png_batch(
+        paths, [a.shape for a in arrs], num_threads=2
+    )
+    assert (status == 0).all()
+    for a, o, p in zip(arrs, out, paths):
+        np.testing.assert_array_equal(o, a)
+        np.testing.assert_array_equal(
+            o, np.asarray(Image.open(p).convert("RGB"))
+        )
+
+
+def test_decode_png_gray_source(tmp_path, rng):
+    g = rng.integers(0, 255, (40, 300)).astype(np.uint8)
+    p = _save_png(tmp_path, "gray.png", g)
+    # gray -> 1 channel: exact
+    out, status = native.decode_png_batch([p], [(40, 300, 1)])
+    assert status[0] == 0
+    np.testing.assert_array_equal(out[0], g[..., None])
+    # gray -> 3 channels: replicate (PIL convert("RGB") semantics)
+    out, status = native.decode_png_batch([p], [(40, 300, 3)])
+    assert status[0] == 0
+    np.testing.assert_array_equal(out[0], np.repeat(g[..., None], 3, -1))
+
+
+def test_decode_png_rgb_to_gray_channel_mean(tmp_path, rng):
+    a = rng.integers(0, 255, (32, 500, 3)).astype(np.uint8)
+    p = _save_png(tmp_path, "rgb.png", a)
+    out, status = native.decode_png_batch([p], [(32, 500, 1)])
+    assert status[0] == 0
+    ref = a.mean(axis=-1, keepdims=True).astype(np.uint8)
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_decode_png_unsupported_falls_back(tmp_path, rng):
+    from PIL import Image
+
+    # palette PNG: status nonzero, caller must use PIL
+    a = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    p = str(tmp_path / "pal.png")
+    Image.fromarray(a).convert("P").save(p)
+    out, status = native.decode_png_batch([p], [(16, 16, 3)])
+    assert status[0] != 0 and out[0] is None
+    # shape mismatch: rejected, no overflow
+    p2 = _save_png(tmp_path, "ok.png", a)
+    out, status = native.decode_png_batch([p2], [(99, 99, 3)])
+    assert status[0] != 0
+    # missing file
+    out, status = native.decode_png_batch(
+        [str(tmp_path / "nope.png")], [(8, 8, 3)]
+    )
+    assert status[0] != 0
+
+
+def test_lazy_image_native_decode(tmp_path, rng):
+    from effocr_tpu.pipelines.infer import _LazyImage, _materialize_batch
+
+    rgb = rng.integers(0, 255, (40, 600, 3)).astype(np.uint8)
+    gray = rng.integers(0, 255, (40, 200)).astype(np.uint8)
+    p_rgb = _save_png(tmp_path, "line_rgb.png", rgb)
+    p_gray = _save_png(tmp_path, "line_gray.png", gray)
+
+    # gray pipeline: RGB source reduces via channel mean, gray loads as-is
+    li = _LazyImage(p_rgb, gray=True)
+    assert li.shape == (40, 600, 1)
+    np.testing.assert_array_equal(
+        li.load(), rgb.mean(-1, keepdims=True).astype(np.uint8)
+    )
+    lg = _LazyImage(p_gray, gray=True)
+    assert lg.shape == (40, 200, 1)
+    np.testing.assert_array_equal(lg.load(), gray[..., None])
+
+    # RGB pipeline: exact passthrough; batch materialize decodes once
+    li2 = _LazyImage(p_rgb, gray=False)
+    out = _materialize_batch([li2, li2, rgb])
+    np.testing.assert_array_equal(out[0], rgb)
+    assert out[0] is out[1]
+    np.testing.assert_array_equal(out[2], rgb)
