@@ -17,7 +17,7 @@ and the sweep transfers.
 
 Usage:
   python scripts/tune_postprocess.py --pred_coco out_val/inference_coco.json \
-      --gt_coco split2k_val.json [--apply margin mult] [--spell_check ...]
+      --gt_coco split2k_val.json [--dictionary_path d.txt --homoglyphs h.txt]
 """
 
 import argparse
@@ -60,7 +60,7 @@ def recover_lines(pred_coco):
     return out
 
 
-def replay(lines, gt_texts, margin, mult):
+def replay(lines, gt_texts, margin, mult, spell=None):
     pairs = []
     for fn, gt in gt_texts.items():
         chars, word_end, heights, bottoms, text = lines.get(
@@ -74,6 +74,8 @@ def replay(lines, gt_texts, margin, mult):
             ) or ""
         else:
             pred = text
+        if spell is not None and pred:
+            pred = spell(pred)
         pairs.append((gt, pred))
     return textline_evaluation(
         pairs, print_incorrect=False, no_spaces_in_eval=False,
@@ -89,7 +91,22 @@ def main():
                    default=[0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.4])
     p.add_argument("--multipliers", type=float, nargs="*",
                    default=[2.0, 3.0, 4.0, 6.0])
+    p.add_argument("--dictionary_path", help="replay homoglyph spell-check "
+                   "on top of each anchor setting")
+    p.add_argument("--homoglyphs")
     args = p.parse_args()
+
+    spell = None
+    if args.dictionary_path:
+        from effocr_tpu.utils.spell_check import (
+            default_dicts,
+            visual_spell_checker,
+        )
+
+        worddict, vsim, abbrevs = default_dicts(
+            args.dictionary_path, args.homoglyphs
+        )
+        spell = lambda s: visual_spell_checker(s, worddict, vsim, abbrevs)
 
     with open(args.pred_coco) as f:
         pred = json.load(f)
@@ -99,12 +116,12 @@ def main():
                 if "text" in im}
 
     lines = recover_lines(pred)
-    acc, cer = replay(lines, gt_texts, None, 4.0)
+    acc, cer = replay(lines, gt_texts, None, 4.0, spell)
     print(f"baseline (repair off): acc {acc:.2f}  CER {cer:.5f}")
     best = (acc, -cer, None, 4.0)
     for m in args.margins:
         for k in args.multipliers:
-            acc, cer = replay(lines, gt_texts, m, k)
+            acc, cer = replay(lines, gt_texts, m, k, spell)
             marker = ""
             if (acc, -cer) > best[:2]:
                 best = (acc, -cer, m, k)
