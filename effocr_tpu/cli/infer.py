@@ -191,6 +191,7 @@ def load_engine(args) -> EffOCRInference:
         adaptive_height_floor=height_floor,
         adaptive_height_cap=height_cap,
         anchor_margin=args.anchor_margin,
+        anchor_multiplier=args.anchor_multiplier,
         spell_check=args.spell_check,
         spell_check_dict=args.dictionary_path,
         homoglyphs_path=args.homoglyphs,
@@ -252,6 +253,10 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--localizer_iou_thresh", type=float, default=0.01)
     p.add_argument("--localizer_conf_thresh", type=float, default=0.35)
     p.add_argument("--anchor_margin", type=float, default=None)
+    p.add_argument("--anchor_multiplier", type=float, default=4.0,
+                   help="en_postprocess large-glyph threshold, in units "
+                        "of anchor_margin (case repair; see "
+                        "scripts/tune_postprocess.py)")
     p.add_argument("--box_pad", type=float, default=0.0,
                    help="expand char boxes by this many canvas px along "
                         "the reading axis before cropping (recovers "

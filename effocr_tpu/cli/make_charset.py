@@ -45,6 +45,10 @@ def main():
                         "(error-analysis --font_dir)")
     p.add_argument("--dedupe_canvas", type=int, default=64,
                    help="render size for --dedupe_renders hashing")
+    p.add_argument("--dedupe_tol", type=float, default=0.0,
+                   help="also merge NEAR-identical renders: mean "
+                        "|a-b|/255 <= tol in every common font "
+                        "(0 = exact pixels only)")
     args = p.parse_args()
 
     paths = []
@@ -73,7 +77,8 @@ def main():
         from effocr_tpu.data.fonts import dedupe_render_identical
 
         chars, dropped = dedupe_render_identical(
-            chars, paths, canvas_size=args.dedupe_canvas
+            chars, paths, canvas_size=args.dedupe_canvas,
+            tol=args.dedupe_tol,
         )
         ex = (" (e.g. " + ", ".join(
             f"{d!r}=={k!r}" for d, k in dropped[:5]) + ")") if dropped else ""

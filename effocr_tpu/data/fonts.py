@@ -198,28 +198,119 @@ def dedupe_render_identical(
     chars: Sequence[str],
     font_paths: Sequence[str],
     canvas_size: int = 64,
+    tol: float = 0.0,
 ) -> Tuple[List[str], List[Tuple[str, str]]]:
-    """Drop charset entries that render identically to an earlier entry in
-    every font that draws them (the charset-level extension of
-    filter_recurring_hash — the reference only prunes duplicate RENDERS,
+    """Drop charset entries indistinguishable from a kept entry in every
+    COMMON font (the charset-level extension of filter_recurring_hash —
+    the reference only prunes duplicate RENDERS,
     format_effocr_recognizer_dataset.py:195-205, so its charsets keep
     pixel-identical codepoint twins and the corpus ground truth becomes
     unanswerable from pixels).  Returns (kept, [(dropped, kept_twin)]).
-    Chars no font renders are kept (downstream rendering skips them)."""
-    sigs = render_signatures(chars, font_paths, canvas_size)
-    seen: Dict[tuple, str] = {}
-    kept: List[str] = []
-    dropped: List[Tuple[str, str]] = []
-    for c in chars:
-        s = sigs.get(c)
-        if not s:
-            kept.append(c)
+
+    Two chars are merged when they share >=1 rendering font and their
+    renders match in ALL fonts covering both — NOT when their coverage
+    vectors are equal: codepoint twins often live in different cmap
+    subsets (Kangxi radical U+2FBB vs ideograph U+5F73), and a crop can
+    only ever come from a font that renders its char, so common-font
+    identity is exactly "no crop distinguishes them".  Wider-coverage
+    chars are preferred as the kept representative.  `tol` > 0 also
+    merges near-identical renders (mean |a-b|/255 <= tol per common
+    font); 0 keeps the exact-hash criterion.  Chars no font renders are
+    kept (downstream rendering skips them).
+    """
+    import numpy as _np
+
+    # per-font renders: font idx -> {char: raster}
+    renders: List[Dict[str, "_np.ndarray"]] = []
+    want = set(chars)
+    for fp in font_paths:
+        font = ImageFont.truetype(fp, size=canvas_size)
+        _, covered = get_unicode_coverage_from_ttf(fp)
+        per = {}
+        for c in sorted(want.intersection(covered)):
+            img = draw_single_char(c, font, canvas_size)
+            if img is not None:
+                per[c] = _np.asarray(img, _np.uint8)
+        renders.append(per)
+
+    coverage = {
+        c: [fi for fi, per in enumerate(renders) if c in per] for c in chars
+    }
+
+    def _same(a: str, b: str) -> bool:
+        common = [fi for fi in coverage[a] if fi in set(coverage[b])]
+        if not common:
+            return False
+        for fi in common:
+            ra, rb = renders[fi][a], renders[fi][b]
+            if tol <= 0.0:
+                if ra.tobytes() != rb.tobytes():
+                    return False
+            elif float(_np.mean(_np.abs(ra.astype(_np.int16) - rb)) / 255.0) > tol:
+                return False
+        return True
+
+    # Candidate pairs, complete by construction (no false negatives):
+    # exact mode buckets by raster hash; tolerant mode uses the bound
+    # mean|a-b| >= L1(4x4 mean-pooled thumbnails)/16, so every pair
+    # within tol collides with pooled-L1 <= 16*tol*255.
+    cand: Dict[str, set] = {c: set() for c in chars}
+    if tol <= 0.0:
+        buckets: Dict[tuple, List[str]] = {}
+        for fi, per in enumerate(renders):
+            for c, r in per.items():
+                buckets.setdefault((fi, hash(r.tobytes())), []).append(c)
+        for cs in buckets.values():
+            if len(cs) > 1:
+                s = set(cs)
+                for c in cs:
+                    cand[c].update(s)
+    else:
+        pool = max(1, canvas_size // 4)
+        lim = 16.0 * tol * 255.0
+        for per in renders:
+            cs = sorted(per)
+            if len(cs) < 2:
+                continue
+            th = _np.stack([
+                per[c][: 4 * pool, : 4 * pool]
+                .reshape(4, pool, 4, pool)
+                .astype(_np.float32)
+                .mean(axis=(1, 3))
+                .ravel()
+                for c in cs
+            ])
+            step = 256
+            for lo in range(0, len(cs), step):
+                d = _np.abs(
+                    th[lo: lo + step, None, :] - th[None, :, :]
+                ).sum(-1)
+                for i, j in zip(*_np.nonzero(d <= lim)):
+                    a, b = cs[lo + i], cs[j]
+                    if a != b:
+                        cand[a].add(b)
+                        cand[b].add(a)
+
+    order = sorted(
+        range(len(chars)), key=lambda i: (-len(coverage[chars[i]]), i)
+    )
+    rep: Dict[str, str] = {}  # dropped char -> kept twin
+    kept_set: set = set()
+    for i in order:
+        c = chars[i]
+        if not coverage[c]:
+            kept_set.add(c)
             continue
-        if s in seen:
-            dropped.append((c, seen[s]))
+        twin = next(
+            (k for k in sorted(cand[c]) if k in kept_set and _same(c, k)),
+            None,
+        )
+        if twin is None:
+            kept_set.add(c)
         else:
-            seen[s] = c
-            kept.append(c)
+            rep[c] = twin
+    kept = [c for c in chars if c not in rep]
+    dropped = [(c, rep[c]) for c in chars if c in rep]
     return kept, dropped
 
 

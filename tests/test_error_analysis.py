@@ -95,3 +95,42 @@ def test_dedupe_render_identical():
     assert kept[0] == "A" and "B" in kept and "c" in kept
     assert {d for d, _ in dropped} == {"А", "Α"}
     assert all(k == "A" for _, k in dropped)
+
+
+def test_dedupe_merges_across_differing_font_coverage(monkeypatch):
+    """Twins must merge when identical in every COMMON font, even if one
+    codepoint is missing from some fonts' cmaps (Kangxi-radical case:
+    U+2FBB renders identically to U+5F73 but lives in fewer fonts)."""
+    import os
+
+    if not os.path.exists(FONT):
+        pytest.skip("DejaVu font not present")
+    import effocr_tpu.data.fonts as F
+
+    font2 = FONT.replace("DejaVuSans.ttf", "DejaVuSansMono.ttf")
+    real = F.get_unicode_coverage_from_ttf
+
+    def fake_coverage(fp):
+        blocks, covered = real(fp)
+        if fp == font2:  # second font "lacks" the Cyrillic twin
+            covered = [c for c in covered if c != "А"]
+        return blocks, covered
+
+    monkeypatch.setattr(F, "get_unicode_coverage_from_ttf", fake_coverage)
+    kept, dropped = F.dedupe_render_identical(["A", "А", "B"], [FONT, font2])
+    assert ("А", "A") in dropped, (kept, dropped)
+    assert "B" in kept and "A" in kept
+
+
+def test_dedupe_tol_merges_near_identical():
+    import os
+
+    if not os.path.exists(FONT):
+        pytest.skip("DejaVu font not present")
+    from effocr_tpu.data.fonts import dedupe_render_identical
+
+    # sans-serif l vs I: tiny render distance, not pixel-identical
+    kept0, dropped0 = dedupe_render_identical(["l", "I"], [FONT])
+    assert not dropped0
+    kept1, dropped1 = dedupe_render_identical(["l", "I"], [FONT], tol=0.05)
+    assert dropped1 == [("I", "l")], (kept1, dropped1)
