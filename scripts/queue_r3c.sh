@@ -70,13 +70,8 @@ if [ -e rec2k_j_hn/ref.npz ] && [ ! -e out2k_test_hn/metrics.json ]; then
     --save_output out2k_test_hn
 fi
 
-# ---- 5. final coupled bench at HEAD (winning flags pinned in spec) ----
-cd "$REPO"
-if [ ! -e /tmp/bench_r3_final.json ]; then
-  log "final coupled bench (BENCH_TRAINED.json at HEAD)"
-  timeout 3600 python bench.py > /tmp/bench_r3_final.json \
-    2> /tmp/bench_r3_final.log || true
-  tail -1 /tmp/bench_r3_final.json
-fi
+# (final coupled bench moved to the end of the chain: it must run with
+# the winning sweep flags pinned into BENCH_TRAINED.json, after
+# sweep_r3b_isolation.sh picks them.)
 
 log "queue C drained"
