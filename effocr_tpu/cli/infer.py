@@ -201,6 +201,7 @@ def load_engine(args) -> EffOCRInference:
             if args.crop_geometry == "auto" else args.crop_geometry
         ),
         retrieval_kernel=args.retrieval_kernel,
+        nms_kernel=args.nms_kernel,
         transfer_bits=args.transfer_bits,
         line_batch=args.line_batch,
         crop_batch=args.crop_batch,
@@ -337,6 +338,11 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    choices=["xla", "pallas"],
                    help="pallas = tiled top-1 kernel for very large "
                         "prototype indexes (jisx0213-scale)")
+    p.add_argument("--nms_kernel", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="pallas = whole-image-in-VMEM greedy NMS "
+                        "(kernels/pallas_nms.py), bit-identical keep "
+                        "mask without the [N,N] HBM traffic")
     p.add_argument("--build_index_from", type=str, default=None,
                    help="char-folder tree for ad-hoc prototype-index build "
                         "when recognizer_dir has no ref.npz")

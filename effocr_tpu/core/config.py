@@ -204,6 +204,11 @@ class PipelineConfig:
     # through VMEM with a running max (kernels/pallas_retrieval.py) — for
     # jisx0213/adobe-scale indexes (~13k classes); requires knn_k == 1.
     retrieval_kernel: str = "xla"
+    # "xla": fixpoint NMS on [B, N, N] suppression matrices in HBM
+    # (kernels/nms.py).  "pallas": whole-image-in-VMEM greedy NMS
+    # (kernels/pallas_nms.py) — bit-identical keep mask, none of the
+    # [N, N] HBM traffic; the win grows with max_nms.
+    nms_kernel: str = "xla"
     # chunks of lines whose detect results may be in flight at once
     # (host glue of chunk k overlaps device detect of chunk k+1).
     # Depth 3 measures ~30% over depth 2 behind the remote-chip relay:

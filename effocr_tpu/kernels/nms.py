@@ -98,7 +98,7 @@ def nms_mask(
 
 
 @partial(jax.jit, static_argnames=("iou_thresh", "max_det", "class_agnostic",
-                                   "presorted"))
+                                   "presorted", "kernel", "interpret"))
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -108,6 +108,8 @@ def batched_nms(
     max_det: int,
     class_agnostic: bool = False,
     presorted: bool = False,
+    kernel: str = "xla",
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-image NMS over a batch, fixed output [B, max_det, ...].
 
@@ -120,14 +122,40 @@ def batched_nms(
     kept boxes in input order are already score-sorted, so the result is
     identical without another [N]-sort per image.  Box/class values in
     valid=False slots are unspecified in both modes (consumers mask).
+
+    ``kernel="pallas"`` (requires ``presorted``): computes the keep mask
+    with kernels/pallas_nms.py — whole-image-in-VMEM, bit-identical
+    result; ``interpret`` runs that kernel in interpreter mode (CPU
+    tests).
     """
 
     n = boxes.shape[1]
     k_eff = min(max_det, n)
 
-    def _one(b, s, c, v):
-        offset = 0.0 if class_agnostic else c.astype(b.dtype)[:, None] * MAX_WH
-        keep = nms_mask(b + offset, s, v, iou_thresh, presorted=presorted)
+    keep_pre = None
+    if kernel == "pallas":
+        if not presorted:
+            raise ValueError("kernel='pallas' requires presorted inputs "
+                             "(the fused decode path always is)")
+        from effocr_tpu.kernels.pallas_nms import pallas_nms_mask
+
+        offs = (
+            jnp.zeros_like(boxes[..., :1])
+            if class_agnostic
+            else classes.astype(boxes.dtype)[..., None] * MAX_WH
+        )
+        keep_pre = pallas_nms_mask(
+            boxes + offs, valid, iou_thresh, interpret=interpret
+        )
+
+    def _one(b, s, c, v, kp=None):
+        if kp is None:
+            offset = (0.0 if class_agnostic
+                      else c.astype(b.dtype)[:, None] * MAX_WH)
+            keep = nms_mask(b + offset, s, v, iou_thresh,
+                            presorted=presorted)
+        else:
+            keep = kp
         if presorted:
             pos = jnp.cumsum(keep) - 1  # position among kept, input order
             n_kept = pos[-1] + 1
@@ -155,4 +183,6 @@ def batched_nms(
             out_valid,
         )
 
+    if keep_pre is not None:
+        return jax.vmap(_one)(boxes, scores, classes, valid, keep_pre)
     return jax.vmap(_one)(boxes, scores, classes, valid)

@@ -32,7 +32,7 @@ def xywh2xyxy(x: jnp.ndarray) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=("conf_thresh", "iou_thresh", "max_nms", "max_det",
-                     "class_agnostic"),
+                     "class_agnostic", "nms_kernel", "interpret"),
 )
 def decode_and_nms(
     prediction: jnp.ndarray,
@@ -41,6 +41,8 @@ def decode_and_nms(
     max_nms: int = 4096,
     max_det: int = 1000,
     class_agnostic: bool = False,
+    nms_kernel: str = "xla",
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """prediction [B, A, 5+nc] -> (boxes, scores, classes, valid), [B, max_det].
 
@@ -78,5 +80,5 @@ def decode_and_nms(
     # [B, max_nms] sorts inside the NMS (sorts dominate this stage on TPU).
     return batched_nms(
         boxes, scores, classes, valid, iou_thresh, max_det, class_agnostic,
-        presorted=True,
+        presorted=True, kernel=nms_kernel, interpret=interpret,
     )

@@ -276,6 +276,9 @@ class EffOCRInference:
                 max_nms=c.localizer.max_nms,
                 max_det=c.localizer.max_det,
                 class_agnostic=c.localizer.class_agnostic,
+                nms_kernel=c.nms_kernel,
+                interpret=c.nms_kernel == "pallas"
+                and jax.default_backend() == "cpu",
             )
             return imgs, boxes, scores, classes, valid
 
@@ -331,6 +334,9 @@ class EffOCRInference:
                 max_nms=c.localizer.max_nms,
                 max_det=c.localizer.max_det,
                 class_agnostic=c.localizer.class_agnostic,
+                nms_kernel=c.nms_kernel,
+                interpret=c.nms_kernel == "pallas"
+                and jax.default_backend() == "cpu",
             )
             b, m = valid.shape
             # reading-order key = left (or top) edge, matching the host

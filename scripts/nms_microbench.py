@@ -93,14 +93,20 @@ def main():
           f"(decoded {decoded.shape})")
 
     for max_nms in (256, 512, 1024, 2048):
-        dn = jax.jit(
-            lambda d, m=max_nms: decode_and_nms(
-                d, conf_thresh=0.35, iou_thresh=0.01, max_nms=m,
-                max_det=min(m, 1000),
+        for kern in ("xla", "pallas"):
+            dn = jax.jit(
+                lambda d, m=max_nms, k=kern: decode_and_nms(
+                    d, conf_thresh=0.35, iou_thresh=0.01, max_nms=m,
+                    max_det=min(m, 1000), nms_kernel=k,
+                )
             )
-        )
-        t = timeit(dn, decoded)
-        print(f"decode+NMS max_nms={max_nms:5d}: {t:.1f} ms")
+            try:
+                t = timeit(dn, decoded)
+            except Exception as e:  # pallas lowering may fail off-TPU
+                print(f"decode+NMS max_nms={max_nms:5d} [{kern}]: "
+                      f"FAILED ({type(e).__name__})")
+                continue
+            print(f"decode+NMS max_nms={max_nms:5d} [{kern}]: {t:.1f} ms")
 
     # bare batched_nms on realistic box layouts (~28 glyphs/line kept)
     n = 1024

@@ -175,3 +175,89 @@ def test_nms_mask_presorted_matches_default(rng):
     b = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
                             jnp.asarray(valid), 0.3, presorted=True))
     np.testing.assert_array_equal(a, b)
+
+
+# ---- pallas whole-image-in-VMEM kernel (interpret mode on CPU) ----
+
+def _presorted_batch(rng, bsz, n, tie_frac=0.15, invalid_frac=0.2):
+    """Random top_k-shaped batch: descending scores, valid prefix."""
+    boxes, scores, classes, valid = [], [], [], []
+    for _ in range(bsz):
+        nv = int(rng.integers(max(1, n // 4), n))
+        sc = np.sort(rng.uniform(0.1, 1.0, nv).astype(np.float32))[::-1]
+        k = int(nv * tie_frac)
+        if k:
+            sc[1:k + 1] = sc[:k]  # runs of exact ties
+            sc = np.sort(sc)[::-1]
+        scores.append(np.concatenate([sc, np.zeros(n - nv, np.float32)]))
+        boxes.append(random_boxes(rng, n))
+        classes.append((rng.uniform(size=n) < 0.2).astype(np.int32))
+        v = np.zeros(n, bool)
+        v[:nv] = True
+        valid.append(v)
+    return (np.stack(boxes), np.stack(scores), np.stack(classes),
+            np.stack(valid))
+
+
+@pytest.mark.parametrize("n", [128, 300, 512])
+@pytest.mark.parametrize("iou_thresh", [0.01, 0.45])
+def test_pallas_nms_mask_matches_xla(rng, n, iou_thresh):
+    """The pallas keep mask is bit-identical to nms_mask(presorted=True),
+    including non-multiple-of-128 N (padding) and invalid slots."""
+    from effocr_tpu.kernels.pallas_nms import pallas_nms_mask
+
+    b, s, c, v = _presorted_batch(rng, 3, n)
+    got = np.asarray(pallas_nms_mask(
+        jnp.asarray(b), jnp.asarray(v), iou_thresh, interpret=True
+    ))
+    for i in range(3):
+        ref = np.asarray(nms_mask(
+            jnp.asarray(b[i]), jnp.asarray(s[i]), jnp.asarray(v[i]),
+            iou_thresh, presorted=True,
+        ))
+        np.testing.assert_array_equal(got[i], ref)
+
+
+def test_pallas_nms_cross_tile_chains(rng):
+    """Suppression chains that span the 128-box tile boundary: a dense
+    horizontal chain (each box overlaps its neighbours) laid out so
+    kept/suppressed decisions in tile 0 gate boxes in tiles 1-2."""
+    from effocr_tpu.kernels.pallas_nms import pallas_nms_mask
+
+    n = 384
+    boxes = np.stack([
+        np.arange(n) * 2.5,
+        np.zeros(n),
+        np.arange(n) * 2.5 + 20.0,
+        np.full(n, 20.0),
+    ], axis=1).astype(np.float32)
+    scores = np.sort(rng.uniform(0.1, 1.0, n).astype(np.float32))[::-1]
+    valid = np.ones(n, bool)
+    got = np.asarray(pallas_nms_mask(
+        jnp.asarray(boxes)[None], jnp.asarray(valid)[None], 0.3,
+        interpret=True,
+    ))[0]
+    ref = np.asarray(nms_mask(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.3,
+        presorted=True,
+    ))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("iou_thresh", [0.01, 0.45])
+def test_batched_nms_pallas_kernel_matches_xla(rng, iou_thresh):
+    """batched_nms(kernel='pallas') end to end: identical valid-slot
+    outputs to the XLA presorted path (per-class offsets included)."""
+    b, s, c, v = _presorted_batch(rng, 3, 256)
+    args = (jnp.asarray(b), jnp.asarray(s), jnp.asarray(c), jnp.asarray(v))
+    for max_det in (16, 128):
+        ref = batched_nms(*args, iou_thresh=iou_thresh, max_det=max_det,
+                          presorted=True)
+        got = batched_nms(*args, iou_thresh=iou_thresh, max_det=max_det,
+                          presorted=True, kernel="pallas", interpret=True)
+        vref, vgot = np.asarray(ref[3]), np.asarray(got[3])
+        np.testing.assert_array_equal(vref, vgot)
+        for r, g in zip(ref[:3], got[:3]):
+            np.testing.assert_array_equal(
+                np.asarray(r)[vref], np.asarray(g)[vref]
+            )
