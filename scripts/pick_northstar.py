@@ -1,0 +1,113 @@
+"""Pick the winning trained-artifact bench config and pin it.
+
+Scans the on-chip sweep results (``/root/drive2/sweep_r3/*.result.json``,
+each written by one ``bench.py`` run_trained invocation) and rewrites the
+repo-root ``BENCH_TRAINED.json`` so the driver's end-of-round ``bench.py``
+run measures the demonstrated north-star configuration (reference timing
+semantics: /root/reference/infer_effocr_onnx_multi.py:394-395).
+
+Selection rule (the coupled north-star, BASELINE.json):
+  1. among results with CER <= CER_BUDGET (the round-2 trained-artifact
+     CER, 0.0593), take the highest lines/s/chip;
+  2. if none pass the CER budget, take the lowest-CER result instead
+     (never pin a config that trades away the accuracy half).
+
+Case-repair anchor flags are appended when absent: they touch only the
+host-side en_postprocess case repair (measured CER-improving, zero device
+cost — BENCH_ACCURACY.md round-3 anchor rows).
+"""
+
+import glob
+import json
+import os
+import sys
+
+CER_BUDGET = 0.0593
+SWEEP_DIR = "/root/drive2/sweep_r3"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_results(sweep_dir):
+    out = []
+    for path in sorted(glob.glob(os.path.join(sweep_dir, "*.result.json"))):
+        try:
+            with open(path) as f:
+                lines = [l for l in f if l.startswith("{")]
+            if not lines:
+                continue
+            r = json.loads(lines[-1])
+        except (json.JSONDecodeError, OSError):
+            continue
+        if r.get("weights") != "trained" or "cer" not in r:
+            continue
+        r["_path"] = path
+        out.append(r)
+    return out
+
+
+def flag_value(flags, name):
+    for i, f in enumerate(flags):
+        if f == name and i + 1 < len(flags):
+            return flags[i + 1]
+    return None
+
+
+def main():
+    results = load_results(SWEEP_DIR)
+    if not results:
+        print("no trained sweep results found; leaving BENCH_TRAINED.json")
+        return 1
+
+    passing = [r for r in results if r["cer"] <= CER_BUDGET]
+    if passing:
+        winner = max(passing, key=lambda r: r["value"])
+    else:
+        winner = min(results, key=lambda r: r["cer"])
+
+    flags = list(winner["flags"])
+    if "--anchor_margin" not in flags:
+        flags += ["--anchor_margin", "0.15", "--anchor_multiplier", "2.0"]
+
+    rec_dir = flag_value(flags, "--recognizer_dir")
+    loc_dir = flag_value(flags, "--localizer_dir")
+    artifacts = [
+        os.path.join(rec_dir, "ref.npz"),
+        os.path.join(rec_dir, "enc_best.msgpack"),
+        os.path.join(loc_dir, "best_bbox_mAP.msgpack"),
+    ]
+    missing = [a for a in artifacts if not os.path.exists(a)]
+    if missing:
+        print(f"winner artifacts missing: {missing}; not pinning")
+        return 1
+
+    spec = {
+        "comment": (
+            "Coupled north-star spec (auto-pinned by scripts/pick_northstar.py"
+            f" from {os.path.basename(winner['_path'])}: "
+            f"{winner['value']} lines/s/chip @ CER {winner['cer']:.4f}). "
+            "bench.py run_trained reports lines/s/chip AND CER from the same "
+            "invocation; falls back to the synthetic config when the host "
+            "artifacts are absent."
+        ),
+        "image_dir": os.path.join(
+            os.path.dirname(winner["corpus"]), "images"
+        ),
+        "coco_json": winner["corpus"],
+        "max_lines": 5000,
+        "artifacts": artifacts,
+        "flags": flags,
+    }
+    out_path = os.path.join(REPO, "BENCH_TRAINED.json")
+    with open(out_path, "w") as f:
+        json.dump(spec, f, indent=2)
+        f.write("\n")
+    print(
+        f"pinned {os.path.basename(winner['_path'])}: "
+        f"{winner['value']} lines/s/chip @ CER {winner['cer']:.4f} "
+        f"(acc {winner.get('textline_accuracy')}) -> {out_path}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
