@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 sweep, part 2: isolate WHICH cap buys the caps-config speed
+# Round-3 sweep, part 2: isolate WHICH cap buys the caps-config speed (now on the mobilenet encoder, rec2k_mn)
 # (528 lines/s vs trim's 360) and which one costs its CER (0.0574 vs
 # 0.0327).  eval5k has <=60 boxes/line, so max_det=128 cannot truncate
 # GT — the suspects are max_nms (drops low-rank candidates pre-NMS) and
@@ -12,7 +12,7 @@ OUT=/root/drive2/sweep_r3
 mkdir -p "$OUT"
 cd "$REPO"
 
-BASE_FLAGS='"--recognizer_dir", "/root/drive2/rec2k_j",
+BASE_FLAGS='"--recognizer_dir", "/root/drive2/rec2k_mn",
     "--localizer_dir", "/root/drive2/loc2k",
     "--lang", "en",
     "--localizer_conf_thresh", "0.3",
@@ -32,7 +32,7 @@ spec() {
   "image_dir": "/root/drive2/eval5k/images",
   "coco_json": "/root/drive2/eval5k/corpus.json",
   "max_lines": 5000,
-  "artifacts": ["/root/drive2/rec2k_j/ref.npz",
+  "artifacts": ["/root/drive2/rec2k_mn/ref.npz",
                 "/root/drive2/loc2k/best_bbox_mAP.msgpack"],
   "flags": [$BASE_FLAGS$extra]
 }
@@ -51,20 +51,20 @@ run() {
 }
 
 # isolate each cap on top of trim
-spec iso_det '"--max_det", "128"'
-spec iso_nms '"--max_nms", "512"'
-spec iso_win '"--crop_window", "128"'
-run iso_det
-run iso_nms
-run iso_win
+spec mniso_det '"--max_det", "128"'
+spec mniso_nms '"--max_nms", "512"'
+spec mniso_win '"--crop_window", "128"'
+run mniso_det
+run mniso_nms
+run mniso_win
 
 # best-guess recombinations: keep the speed caps, relax the CER one(s)
-spec caps_relax1 '"--max_det", "128", "--max_nms", "768", "--crop_window", "160"'
-spec caps_relax2 '"--max_det", "192", "--max_nms", "512", "--crop_window", "160"'
-run caps_relax1
-run caps_relax2
+spec mncaps_relax1 '"--max_det", "128", "--max_nms", "768", "--crop_window", "160"'
+spec mncaps_relax2 '"--max_det", "192", "--max_nms", "512", "--crop_window", "160"'
+run mncaps_relax1
+run mncaps_relax2
 
 echo "=== sweep2 done"
-for f in "$OUT"/iso_*.result.json "$OUT"/caps_relax*.result.json; do
+for f in "$OUT"/mniso_*.result.json "$OUT"/mncaps_relax*.result.json; do
   echo "$f"; tail -1 "$f" 2>/dev/null
 done
