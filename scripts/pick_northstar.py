@@ -12,9 +12,8 @@ Selection rule (the coupled north-star, BASELINE.json):
   2. if none pass the CER budget, take the lowest-CER result instead
      (never pin a config that trades away the accuracy half).
 
-Case-repair anchor flags are appended when absent: they touch only the
-host-side en_postprocess case repair (measured CER-improving, zero device
-cost — BENCH_ACCURACY.md round-3 anchor rows).
+The pinned flags are exactly the measured winner's — nothing is appended,
+so the driver's rerun reproduces the recorded row.
 """
 
 import glob
@@ -65,9 +64,6 @@ def main():
         winner = min(results, key=lambda r: r["cer"])
 
     flags = list(winner["flags"])
-    if "--anchor_margin" not in flags:
-        flags += ["--anchor_margin", "0.15", "--anchor_multiplier", "2.0"]
-
     rec_dir = flag_value(flags, "--recognizer_dir")
     loc_dir = flag_value(flags, "--localizer_dir")
     artifacts = [
