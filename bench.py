@@ -78,6 +78,9 @@ def run_trained(spec):
         samples.append(len(paths) / (time.time() - start))
     lines_per_sec = float(np.median(samples))
     print(f"# samples: {[round(s, 1) for s in samples]}", file=sys.stderr)
+    if os.environ.get("BENCH_PROFILE"):
+        print("# stage wall-clock split (all timed repeats):\n"
+              + engine.timer.report(), file=sys.stderr)
 
     by_name = {os.path.basename(str(k)): v for k, v in results.items()}
     pairs = [(x["text"], by_name.get(x["file_name"]) or "") for x in images]

@@ -42,6 +42,12 @@ def main():
                    help="dataset root (default: args_log.json value)")
     p.add_argument("--test", action="store_true", default=False,
                    help="also report kNN precision@1 on the test split")
+    p.add_argument("--mine_hardneg", type=int, default=0, metavar="K",
+                   help="also mine k-NN hard negatives from the train "
+                        "split into <run_dir>/hns.txt (standalone "
+                        "equivalent of the reference's infer_hardneg, "
+                        "train_effocr_recognizer.py:389-404 — recovers "
+                        "runs whose in-training mining was cut short)")
     args = p.parse_args()
 
     with open(os.path.join(args.run_dir, "args_log.json")) as f:
@@ -85,6 +91,20 @@ def main():
           f"-> {os.path.join(args.run_dir, 'ref.npz')}")
     if acc is not None:
         print(f"Test precision@1: {acc}")
+
+    if args.mine_hardneg:
+        query_idx = [i for i in idx_train if dataset.is_paired(i)]
+        if not query_idx:
+            seen = set()
+            for i in idx_train:
+                t = dataset.targets[i]
+                if t not in seen:
+                    seen.add(t)
+                    query_idx.append(i)
+        lines = trainer.infer_hardneg(dataset, query_idx, index,
+                                      k=args.mine_hardneg)
+        print(f"hard negatives: {len(lines)} queries "
+              f"-> {os.path.join(args.run_dir, 'hns.txt')}")
 
 
 if __name__ == "__main__":

@@ -363,6 +363,11 @@ def main():
     p.add_argument("--save_output", type=str, default=None)
     p.add_argument("--uncased", action="store_true", default=False)
     p.add_argument("--n_repeats", type=int, default=1)
+    p.add_argument("--profile_stages", action="store_true", default=False,
+                   help="print the per-stage host wall-clock split after "
+                        "the run (prep worker vs consumer thread; the "
+                        "north-star gap diagnosis — device-program stage "
+                        "times come from scripts/nms_microbench.py)")
     p.add_argument("--output_localizer_results", type=str, default=None,
                    help="directory for detection-overlay images "
                         "(infer_effocr_onnx_multi.py:292-305)")
@@ -408,6 +413,10 @@ def main():
     elapsed = time.time() - start
     print(f"Total time: {elapsed:.2f}s")
     print(f"Average time per image: {elapsed / max(len(coco_images), 1):.4f}s")
+    if args.profile_stages:
+        print("Stage wall-clock split (prep/* = prefetch worker thread, "
+              "main/* = consumer thread):")
+        print(engine.timer.report())
 
     if args.save_output:
         os.makedirs(args.save_output, exist_ok=True)

@@ -49,7 +49,7 @@ EPS = 1e-7  # matches nms.py pairwise_iou
 
 
 def _nms_kernel(rows_ref, cols_ref, keep_ref, sup_ref, *, n, iou_thresh):
-    """One image: rows_ref [1,8,N], cols_ref [1,N,8] -> keep_ref [1,N] i32.
+    """One image: rows_ref [1,8,N], cols_ref [1,N,8] -> keep_ref [1,1,N] i32.
 
     Channel order: x0, y0, x1, y1, valid (1.0/0.0), pad, pad, pad.
     sup_ref [1, N] f32 scratch: >0 where a FINAL kept box has already
@@ -126,7 +126,7 @@ def _nms_kernel(rows_ref, cols_ref, keep_ref, sup_ref, *, n, iou_thresh):
 
         kept, _, _ = jax.lax.while_loop(cond, body, (kept0, prior, und0))
 
-        keep_ref[0:1, s:s + TILE] = kept.astype(jnp.int32)
+        keep_ref[0, 0:1, s:s + TILE] = kept.astype(jnp.int32)
 
         # final kept boxes of this tile suppress everything they overlap
         # (only later tiles ever read the flag, so no index mask needed)
@@ -177,10 +177,15 @@ def pallas_nms_mask(
             pl.BlockSpec((1, npad, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, npad), lambda i: (i, 0),
+        # Output is rank-3 [B, 1, N] with block (1, 1, N): Mosaic requires
+        # a block's second-to-last dim to be a multiple of 8 OR equal to
+        # the array dim — block (1, npad) over array (b, npad) violated
+        # that on real TPU (interpret mode accepted it); the unit middle
+        # axis satisfies the rule and is squeezed off below.
+        out_specs=pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, npad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, npad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, npad), jnp.float32)],
         interpret=interpret,
     )(rows, feat)
-    return keep[:, :n] != 0
+    return keep[:, 0, :n] != 0

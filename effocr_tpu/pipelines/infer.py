@@ -234,6 +234,15 @@ class EffOCRInference:
         divisible by the data-axis size.  Fused paths only ('letterbox'
         crop source)."""
         self.config = config
+        # Per-stage wall-clock accumulators (utils/profiling.StageTimer).
+        # "prep/*" stages run on the prefetch worker thread, "main/*" on
+        # the consumer; on a 1-core host the two contend for the same CPU,
+        # so the SUM of host stages bounds throughput, not the max.
+        # Populated always (a handful of perf_counter calls per 256-line
+        # chunk); reported by callers when --profile_stages is set.
+        from effocr_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
         self.mesh = mesh
         self._n_shards = int(mesh.shape["data"]) if mesh is not None else 1
         if self._n_shards > 1:
@@ -644,7 +653,14 @@ class EffOCRInference:
         from concurrent.futures import ThreadPoolExecutor
 
         pending = deque()
-        with ThreadPoolExecutor(max_workers=1) as prep:
+
+        def _pop_finish():
+            with self.timer.stage("main/wait_prep"):
+                handle = pending.popleft().result()
+            self._finish_chunk(handle, results, coco_boxes, tile_ctx)
+
+        with self.timer.stage("main/run_wall"), \
+                ThreadPoolExecutor(max_workers=1) as prep:
             for start in range(0, len(raws), c.line_batch):
                 chunk = raws[start : start + c.line_batch]
                 chunk_keys = keys[start : start + c.line_batch]
@@ -652,15 +668,9 @@ class EffOCRInference:
                     prep.submit(self._dispatch_chunk, chunk, chunk_keys)
                 )
                 if len(pending) >= max(c.prefetch_chunks, 1):
-                    self._finish_chunk(
-                        pending.popleft().result(), results, coco_boxes,
-                        tile_ctx,
-                    )
+                    _pop_finish()
             while pending:
-                self._finish_chunk(
-                    pending.popleft().result(), results, coco_boxes,
-                    tile_ctx,
-                )
+                _pop_finish()
 
         if tile_ctx:
             for parent, ctx in tile_ctx.items():
@@ -750,7 +760,8 @@ class EffOCRInference:
         Runs on the prep worker thread: lazy images decode here, so PNG
         inflation overlaps device execution of the previous chunks."""
         c = self.config
-        chunk = _materialize_batch(chunk)
+        with self.timer.stage("prep/decode"):
+            chunk = _materialize_batch(chunk)
         size_h, size_w = self._chunk_canvas_dims(chunk)
         n = len(chunk)
         from effocr_tpu import native
@@ -783,6 +794,8 @@ class EffOCRInference:
         metas = []
         from effocr_tpu import native
 
+        t_lb = self.timer.stage("prep/letterbox+pack")
+        t_lb.__enter__()
         if native.available():
             out, ratios, tops, lefts = native.letterbox_batch(
                 [np.ascontiguousarray(im) for im in chunk], size_w,
@@ -825,10 +838,12 @@ class EffOCRInference:
                 packed = (lb_imgs[:, :, 0::2] & 0xF0) | (
                     lb_imgs[:, :, 1::2] >> 4
                 )
-                fused_out = self._ocr_chunk_packed(
-                    jnp.asarray(packed), jnp.asarray(meta_arr), protos,
-                    row_mask,
-                )
+                t_lb.__exit__(None, None, None)
+                with self.timer.stage("prep/h2d+dispatch"):
+                    fused_out = self._ocr_chunk_packed(
+                        jnp.asarray(packed), jnp.asarray(meta_arr), protos,
+                        row_mask,
+                    )
             elif c.transfer_bits == 2:
                 assert size_w % 4 == 0
                 d = dither_offsets(lb_imgs.shape[1], size_w)
@@ -839,18 +854,23 @@ class EffOCRInference:
                     | (lv[:, :, 2::4] << 2)
                     | lv[:, :, 3::4]
                 ).astype(np.uint8)
-                fused_out = self._ocr_chunk_packed(
-                    jnp.asarray(packed), jnp.asarray(meta_arr), protos,
-                    row_mask,
-                )
+                t_lb.__exit__(None, None, None)
+                with self.timer.stage("prep/h2d+dispatch"):
+                    fused_out = self._ocr_chunk_packed(
+                        jnp.asarray(packed), jnp.asarray(meta_arr), protos,
+                        row_mask,
+                    )
             else:
-                fused_out = self._ocr_chunk(
-                    jnp.asarray(lb_imgs), jnp.asarray(meta_arr), protos,
-                    row_mask,
-                )
+                t_lb.__exit__(None, None, None)
+                with self.timer.stage("prep/h2d+dispatch"):
+                    fused_out = self._ocr_chunk(
+                        jnp.asarray(lb_imgs), jnp.asarray(meta_arr), protos,
+                        row_mask,
+                    )
             return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                         fused_out=fused_out)
 
+        t_lb.__exit__(None, None, None)
         detect_out = self._detect(jnp.asarray(lb_imgs))
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                     detect_out=detect_out)
@@ -871,11 +891,12 @@ class EffOCRInference:
         # width (4-bit: 114|114 = 0x77; 2-bit: (114>>6) x4 = 0x55)
         pad_byte = {2: 0x55, 4: 0x77, 8: 114}[bits]
         buf = np.full((c.line_batch, size_h, w_out, 1), pad_byte, np.uint8)
-        out, ratios, tops, lefts = native.letterbox_gray_batch(
-            [np.ascontiguousarray(im) for im in chunk], size_w,
-            out_h=size_h, pack_bits=bits,
-        )
-        buf[:n, :, :, 0] = out
+        with self.timer.stage("prep/letterbox+pack"):
+            out, ratios, tops, lefts = native.letterbox_gray_batch(
+                [np.ascontiguousarray(im) for im in chunk], size_w,
+                out_h=size_h, pack_bits=bits,
+            )
+            buf[:n, :, :, 0] = out
         metas = []
         meta_arr = np.zeros((c.line_batch, 4), np.int32)
         for i, raw in enumerate(chunk):
@@ -894,8 +915,9 @@ class EffOCRInference:
             protos = self.index.device_embeddings
             row_mask = self.index.device_mask
         fn = self._ocr_chunk_packed if bits in (2, 4) else self._ocr_chunk
-        fused_out = fn(jnp.asarray(buf), jnp.asarray(meta_arr), protos,
-                       row_mask)
+        with self.timer.stage("prep/h2d+dispatch"):
+            fused_out = fn(jnp.asarray(buf), jnp.asarray(meta_arr), protos,
+                           row_mask)
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                     fused_out=fused_out)
 
@@ -1132,7 +1154,8 @@ class EffOCRInference:
         [n_shards, out_len] — one independent packed segment per device's
         line_batch/N slice — consumed segment by segment."""
         c = self.config
-        buf = np.asarray(jax.device_get(handle["fused_out"]))
+        with self.timer.stage("main/device_get"):
+            buf = np.asarray(jax.device_get(handle["fused_out"]))
         nsh = self._n_shards
         segs = buf if nsh > 1 else buf[None]
         ld = c.line_batch // nsh
@@ -1141,18 +1164,19 @@ class EffOCRInference:
         metas = handle["metas"]
         left_chunk: List = []
         left_keys: List = []
-        for d in range(nsh):
-            lo = d * ld
-            n_d = min(max(len(chunk) - lo, 0), ld)
-            if n_d == 0:
-                break
-            leftover = self._finish_fused_segment(
-                segs[d], chunk[lo : lo + n_d], chunk_keys[lo : lo + n_d],
-                metas[lo : lo + n_d], ld, results, coco_boxes, tile_ctx,
-            )
-            if leftover is not None:
-                left_chunk.extend(leftover[0])
-                left_keys.extend(leftover[1])
+        with self.timer.stage("main/postprocess"):
+            for d in range(nsh):
+                lo = d * ld
+                n_d = min(max(len(chunk) - lo, 0), ld)
+                if n_d == 0:
+                    break
+                leftover = self._finish_fused_segment(
+                    segs[d], chunk[lo : lo + n_d], chunk_keys[lo : lo + n_d],
+                    metas[lo : lo + n_d], ld, results, coco_boxes, tile_ctx,
+                )
+                if leftover is not None:
+                    left_chunk.extend(leftover[0])
+                    left_keys.extend(leftover[1])
         if left_chunk:
             self._finish_chunk(
                 self._dispatch_chunk(left_chunk, left_keys),

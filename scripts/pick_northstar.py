@@ -22,7 +22,12 @@ import os
 import sys
 
 CER_BUDGET = 0.0593
-SWEEP_DIR = "/root/drive2/sweep_r3"
+# Round-4 sweeps land in sweep_r4; older dirs are still scanned so the
+# best measured config wins regardless of which round produced it.
+SWEEP_DIRS = os.environ.get(
+    "NORTHSTAR_SWEEP_DIRS",
+    "/root/drive2/sweep_r4:/root/drive2/sweep_r3",
+).split(":")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -52,7 +57,9 @@ def flag_value(flags, name):
 
 
 def main():
-    results = load_results(SWEEP_DIR)
+    results = []
+    for d in SWEEP_DIRS:
+        results.extend(load_results(d))
     if not results:
         print("no trained sweep results found; leaving BENCH_TRAINED.json")
         return 1
