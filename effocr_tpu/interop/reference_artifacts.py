@@ -16,11 +16,12 @@ onnxruntime installed: the FAISS flat-index binary format is parsed
 directly, and timm state-dict naming is mapped onto our Flax trees.
 ``cli/infer.py`` auto-converts reference dirs on first use.
 
-Supported encoders: timm ConvNeXt family (convnext_atto..small) and timm
-MobileNetV3-Small (050/100).  XCiT and ONNX-only checkpoints are not yet
-mapped — convert those via ``import-encoder`` (HF layout) or retrain;
-``enc_best.onnx`` additionally requires the ``onnx`` package, which this
-image does not ship.
+Supported encoders: timm ConvNeXt family (convnext_atto..small), timm
+MobileNetV3-Small (050/100), and timm/facebook XCiT p8 (tiny/small — the
+paper's strongest encoder, models/encoders.py:6-29; patch-embed BNs are
+folded and the Fourier positional encoding is baked into our table).
+``enc_best.onnx``-only dirs are parsed by interop/onnx_import.py (a
+first-party protobuf walk; no onnxruntime needed).
 """
 
 from __future__ import annotations
@@ -145,10 +146,31 @@ def detect_timm_arch(sd: Mapping[str, Any]) -> str:
         if stem == 16:
             return "mobilenetv3_small_100"
         raise ValueError(f"unrecognized MobileNetV3 stem width {stem}")
+    if "cls_token" in sd and "blocks.0.attn.temperature" in sd:
+        dim = int(np.shape(sd["cls_token"])[-1])
+        heads = int(np.shape(sd["blocks.0.attn.temperature"])[0])
+        depth = sum(1 for k in sd if k.endswith(".attn.temperature")
+                    and k.startswith("blocks."))
+        n_convs = sum(
+            1 for k in range(0, 8, 2)
+            if f"patch_embed.proj.{k}.0.weight" in sd
+        )
+        patch = 2 ** n_convs
+        presets = {
+            (384, 12, 8, 8): "xcit_small_12_p8_224",
+            (192, 12, 4, 8): "xcit_tiny_12_p8_224",
+        }
+        name = presets.get((dim, depth, heads, patch))
+        if name is None:
+            raise ValueError(
+                f"unrecognized XCiT dim={dim} depth={depth} heads={heads} "
+                f"patch={patch}")
+        return name
     raise ValueError(
-        "state dict is neither timm ConvNeXt (stages.*.blocks.*) nor timm "
-        "MobileNetV3 (conv_stem.*); pass --arch and use import-encoder for "
-        "HF-layout checkpoints")
+        "state dict is neither timm ConvNeXt (stages.*.blocks.*), timm "
+        "MobileNetV3 (conv_stem.*), nor XCiT (cls_token + "
+        "blocks.*.attn.temperature); pass --arch and use import-encoder "
+        "for HF-layout checkpoints")
 
 
 def convert_timm_convnext(sd: Mapping[str, Any]) -> Dict[str, Any]:
@@ -275,6 +297,153 @@ def convert_timm_mobilenetv3(sd: Mapping[str, Any]
     return params, stats
 
 
+def _xcit_fourier_pos(sd, prefix: str, hw: int, dim: int) -> np.ndarray:
+    """Bake timm's PositionalEncodingFourier output into a [1, hw*hw, dim]
+    table (timm xcit.py: sinusoidal features of normalized grid coords
+    through the learned 1x1 ``token_projection``).  Our XCiT stores the
+    positional encoding as a table, so at a fixed grid size the baked
+    values are exactly timm's."""
+    proj_w = np.asarray(sd[f"{prefix}.token_projection.weight"], np.float32)
+    proj_b = np.asarray(sd[f"{prefix}.token_projection.bias"], np.float32)
+    hidden = proj_w.shape[1] // 2
+    scale = 2.0 * np.pi
+    eps = 1e-6
+    coord = (np.arange(1, hw + 1, dtype=np.float32) / (hw + eps)) * scale
+    y_embed = np.broadcast_to(coord[:, None], (hw, hw))
+    x_embed = np.broadcast_to(coord[None, :], (hw, hw))
+    dim_t = np.arange(hidden, dtype=np.float32)
+    dim_t = 10000.0 ** (2.0 * (dim_t // 2) / hidden)
+
+    def feats(embed):
+        p = embed[:, :, None] / dim_t                       # [hw, hw, hidden]
+        return np.stack(
+            [np.sin(p[:, :, 0::2]), np.cos(p[:, :, 1::2])], axis=3
+        ).reshape(hw, hw, hidden)
+
+    pos = np.concatenate([feats(y_embed), feats(x_embed)], axis=2)
+    out = pos @ proj_w[:, :, 0, 0].T + proj_b               # [hw, hw, dim]
+    return out.reshape(1, hw * hw, dim).astype(np.float32)
+
+
+def convert_timm_xcit(sd: Mapping[str, Any], image_size: int = 224
+                      ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """timm/facebook XCiT state dict -> (params, batch_stats) for our XCiT.
+
+    timm naming (xcit.py; the facebook DINO repo the reference wraps at
+    models/encoders.py:6-29 differs only in the positional-encoder
+    attribute name): patch_embed.proj.{0,2,4}.{0 conv,1 bn} with GELU
+    between stages, pos_embed.token_projection, cls_token,
+    blocks.{i}.{norm1,attn.{qkv,proj,temperature},norm3,
+    local_mp.{conv1,bn,conv2},norm2,mlp.{fc1,fc2},gamma1,gamma2,gamma3},
+    cls_attn_blocks.{i}.{norm1,attn.{q,k,v,proj},norm2,mlp,gamma1,gamma2},
+    norm.  Patch-embed BatchNorms are folded into the convs (exact in
+    eval); the Fourier positional encoding is baked at ``image_size``.
+    """
+    sd = dict(sd)
+    dim = int(np.shape(sd["cls_token"])[-1])
+    heads = int(np.shape(sd["blocks.0.attn.temperature"])[0])
+    n_convs = sum(1 for k in range(0, 8, 2)
+                  if f"patch_embed.proj.{k}.0.weight" in sd)
+    patch = 2 ** n_convs
+    hw = image_size // patch
+    pos_prefix = ("pos_embed" if "pos_embed.token_projection.weight" in sd
+                  else "pos_embeder")
+
+    def dense(key):
+        return {"kernel": _t(sd[f"{key}.weight"]),
+                "bias": np.asarray(sd[f"{key}.bias"], np.float32)}
+
+    def dwconv(key):
+        w = np.asarray(sd[f"{key}.weight"], np.float32)     # [d, 1, 3, 3]
+        return {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                "bias": np.asarray(sd[f"{key}.bias"], np.float32)}
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n_convs):
+        k = 2 * i
+        w = np.asarray(sd[f"patch_embed.proj.{k}.0.weight"], np.float32)
+        bn_w = np.asarray(sd[f"patch_embed.proj.{k}.1.weight"], np.float32)
+        bn_b = np.asarray(sd[f"patch_embed.proj.{k}.1.bias"], np.float32)
+        mean = np.asarray(sd[f"patch_embed.proj.{k}.1.running_mean"],
+                          np.float32)
+        var = np.asarray(sd[f"patch_embed.proj.{k}.1.running_var"],
+                         np.float32)
+        s = bn_w / np.sqrt(var + 1e-5)                       # BN2d eps
+        conv_b = np.asarray(
+            sd.get(f"patch_embed.proj.{k}.0.bias", np.zeros(w.shape[0])),
+            np.float32)
+        params[f"patch_conv{i}"] = {
+            "kernel": _conv(w * s[:, None, None, None]),
+            "bias": (conv_b - mean) * s + bn_b,
+        }
+    params["pos"] = _xcit_fourier_pos(sd, pos_prefix, hw, dim)
+    params["cls"] = np.asarray(sd["cls_token"], np.float32)
+
+    i = 0
+    while f"blocks.{i}.attn.temperature" in sd:
+        b = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "LayerNorm_0": _ln(sd, f"{b}.norm1"),
+            "XCA_0": {
+                "qkv": dense(f"{b}.attn.qkv"),
+                "proj": dense(f"{b}.attn.proj"),
+                "temperature": np.asarray(sd[f"{b}.attn.temperature"],
+                                          np.float32),
+            },
+            "LayerNorm_1": _ln(sd, f"{b}.norm3"),
+            "LPI_0": {
+                "conv1": dwconv(f"{b}.local_mp.conv1"),
+                "bn": {
+                    "scale": np.asarray(sd[f"{b}.local_mp.bn.weight"],
+                                        np.float32),
+                    "bias": np.asarray(sd[f"{b}.local_mp.bn.bias"],
+                                       np.float32),
+                },
+                "conv2": dwconv(f"{b}.local_mp.conv2"),
+            },
+            "LayerNorm_2": _ln(sd, f"{b}.norm2"),
+            "Mlp_0": {"Dense_0": dense(f"{b}.mlp.fc1"),
+                      "Dense_1": dense(f"{b}.mlp.fc2")},
+            "gamma1": np.asarray(sd[f"{b}.gamma1"], np.float32),
+            "gamma2": np.asarray(sd[f"{b}.gamma2"], np.float32),
+            "gamma3": np.asarray(sd[f"{b}.gamma3"], np.float32),
+        }
+        stats[f"block{i}"] = {"LPI_0": {"bn": {
+            "mean": np.asarray(sd[f"{b}.local_mp.bn.running_mean"],
+                               np.float32),
+            "var": np.asarray(sd[f"{b}.local_mp.bn.running_var"],
+                              np.float32),
+        }}}
+        i += 1
+
+    i = 0
+    while (f"cls_attn_blocks.{i}.norm1.weight" in sd):
+        b = f"cls_attn_blocks.{i}"
+        if f"{b}.attn.qkv.weight" in sd:     # merged-qkv variants: split
+            qkv_w = np.asarray(sd[f"{b}.attn.qkv.weight"], np.float32)
+            qkv_b = np.asarray(sd[f"{b}.attn.qkv.bias"], np.float32)
+            for j, nm in enumerate(("q", "k", "v")):
+                sd[f"{b}.attn.{nm}.weight"] = qkv_w[j * dim:(j + 1) * dim]
+                sd[f"{b}.attn.{nm}.bias"] = qkv_b[j * dim:(j + 1) * dim]
+        params[f"cls_block{i}"] = {
+            "LayerNorm_0": _ln(sd, f"{b}.norm1"),
+            "q": dense(f"{b}.attn.q"),
+            "k": dense(f"{b}.attn.k"),
+            "v": dense(f"{b}.attn.v"),
+            "proj": dense(f"{b}.attn.proj"),
+            "LayerNorm_1": _ln(sd, f"{b}.norm2"),
+            "Mlp_0": {"Dense_0": dense(f"{b}.mlp.fc1"),
+                      "Dense_1": dense(f"{b}.mlp.fc2")},
+            "gamma1": np.asarray(sd[f"{b}.gamma1"], np.float32),
+            "gamma2": np.asarray(sd[f"{b}.gamma2"], np.float32),
+        }
+        i += 1
+
+    params["norm"] = _ln(sd, "norm")
+    return params, stats
+
+
 # ------------------------------------------------------------- directory glue
 
 def import_reference_recognizer_dir(
@@ -298,21 +467,26 @@ def import_reference_recognizer_dir(
     from effocr_tpu.train import checkpoint as ckpt
 
     pth = os.path.join(src_dir, "enc_best.pth")
-    if not os.path.exists(pth):
-        onnx_path = os.path.join(src_dir, "enc_best.onnx")
-        if os.path.exists(onnx_path):
-            raise FileNotFoundError(
-                f"{src_dir}: only enc_best.onnx present; ONNX parsing "
-                "needs the `onnx` package (not shipped here) — export the "
-                "torch checkpoint (enc_best.pth) instead")
-        raise FileNotFoundError(f"{src_dir}: no enc_best.pth")
-    sd = torch.load(pth, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    # the reference saves via nn.DataParallel at >1 GPU -> "module." prefix
-    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
-    sd = {k: np.asarray(v, np.float32) if hasattr(v, "numpy") else v
-          for k, v in sd.items()}
+    onnx_path = os.path.join(src_dir, "enc_best.onnx")
+    if os.path.exists(pth):
+        sd = torch.load(pth, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        # reference saves via nn.DataParallel at >1 GPU -> "module." prefix
+        sd = {k[7:] if k.startswith("module.") else k: v
+              for k, v in sd.items()}
+        sd = {k: np.asarray(v, np.float32) if hasattr(v, "numpy") else v
+              for k, v in sd.items()}
+    elif os.path.exists(onnx_path):
+        # ONNX-only dirs are a valid reference layout
+        # (infer_effocr_onnx_multi.py:416-419); first-party protobuf walk,
+        # no onnx/onnxruntime needed
+        from effocr_tpu.interop.onnx_import import onnx_to_state_dict
+
+        sd = onnx_to_state_dict(onnx_path)
+    else:
+        raise FileNotFoundError(
+            f"{src_dir}: neither enc_best.pth nor enc_best.onnx")
 
     name = arch or detect_timm_arch(sd)
     if name.startswith("convnext"):
@@ -320,10 +494,17 @@ def import_reference_recognizer_dir(
         batch_stats: Dict[str, Any] = {}
     elif name.startswith("mobilenetv3"):
         params, batch_stats = convert_timm_mobilenetv3(sd)
+    elif name.startswith("xcit"):
+        params, batch_stats = convert_timm_xcit(sd, image_size)
     else:
         raise ValueError(f"unsupported arch {name!r} for timm import")
 
-    model = create_encoder(name)
+    kw: Dict[str, Any] = {}
+    if name.startswith("mobilenetv3"):
+        # timm's conv_head width is a checkpoint property (1024 for the
+        # stock smalls, but reduced-width exports exist)
+        kw["head_features"] = int(np.shape(params["head"]["bias"])[0])
+    model = create_encoder(name, **kw)
     init = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, image_size, image_size, 3), jnp.float32), train=False)
@@ -378,7 +559,9 @@ def maybe_convert_reference_dir(recognizer_dir: str) -> str:
 
     if os.path.exists(ckpt.best_checkpoint_path(recognizer_dir)):
         return recognizer_dir
-    if os.path.exists(os.path.join(recognizer_dir, "enc_best.pth")):
+    if (os.path.exists(os.path.join(recognizer_dir, "enc_best.pth"))
+            or os.path.exists(os.path.join(recognizer_dir,
+                                           "enc_best.onnx"))):
         out = os.path.join(recognizer_dir, "tpu_converted")
         if not os.path.exists(ckpt.best_checkpoint_path(out)):
             print(f"converting reference-format recognizer_dir "

@@ -193,8 +193,19 @@ class XCiTBlock(nn.Module):
 
 
 class ClassAttentionBlock(nn.Module):
+    """CaiT-style class-attention block, timm/facebook XCiT semantics.
+
+    Matches timm xcit.py ClassAttentionBlock op for op so imported
+    checkpoints (interop/reference_artifacts.convert_timm_xcit; reference
+    models/encoders.py:6-29) are numerically exact, including two upstream
+    quirks we deliberately reproduce: (1) the attention residual adds the
+    *norm1-ed* non-CLS tokens back (scaled by gamma1), and (2) the MLP
+    residual re-adds the token stream to itself, doubling non-CLS tokens
+    each block — harmless because every later consumer LayerNorms first."""
+
     dim: int
     heads: int
+    tokens_norm: bool = True      # timm xcit_* models all set True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -221,18 +232,26 @@ class ClassAttentionBlock(nn.Module):
                        param_dtype=self.param_dtype, name="proj")(cls)
         gamma = self.param("gamma1", nn.initializers.constant(1.0),
                            (self.dim,), self.param_dtype)
-        x = jnp.concatenate(
-            [x[:, :1] + gamma.astype(x.dtype) * cls, x[:, 1:]], axis=1
+        # residual adds gamma1 * [cls_attn; norm1(x)[:, 1:]]
+        x = x + gamma.astype(x.dtype) * jnp.concatenate(
+            [cls, h[:, 1:]], axis=1
         )
-        h = nn.LayerNorm(dtype=jnp.float32,
-                         param_dtype=self.param_dtype)(x).astype(self.dtype)
+        if self.tokens_norm:
+            x = nn.LayerNorm(dtype=jnp.float32,
+                             param_dtype=self.param_dtype)(x).astype(self.dtype)
+        else:
+            x = jnp.concatenate(
+                [nn.LayerNorm(dtype=jnp.float32,
+                              param_dtype=self.param_dtype)(
+                    x[:, :1]).astype(self.dtype), x[:, 1:]],
+                axis=1,
+            )
         gamma2 = self.param("gamma2", nn.initializers.constant(1.0),
                             (self.dim,), self.param_dtype)
-        cls2 = Mlp(4 * self.dim, self.dim, self.dtype,
-                   self.param_dtype)(h[:, :1])
-        return jnp.concatenate(
-            [x[:, :1] + gamma2.astype(x.dtype) * cls2, x[:, 1:]], axis=1
-        )
+        cls2 = gamma2.astype(x.dtype) * Mlp(4 * self.dim, self.dim, self.dtype,
+                                            self.param_dtype)(x[:, :1])
+        # upstream quirk (2): x_res + cat(cls_mlp, tokens) doubles tokens
+        return x + jnp.concatenate([cls2, x[:, 1:]], axis=1)
 
 
 class XCiT(nn.Module):
@@ -255,8 +274,11 @@ class XCiT(nn.Module):
         n_convs = {4: 2, 8: 3, 16: 4}[self.patch]
         f = self.dim // (2 ** (n_convs - 1))
         for i in range(n_convs):
+            # explicit (1,1) padding: torch Conv2d(padding=1) semantics —
+            # "SAME" at stride 2 would pad (0,1) and shift every window
+            # one pixel versus timm checkpoints
             x = nn.Conv(min(f * 2**i, self.dim), (3, 3), strides=(2, 2),
-                        padding="SAME", dtype=self.dtype,
+                        padding=((1, 1), (1, 1)), dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name=f"patch_conv{i}")(x)
             if i < n_convs - 1:

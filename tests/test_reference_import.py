@@ -374,3 +374,349 @@ def test_import_reference_dir_end_to_end(tmp_path):
         ref = timm_convnext_forward(
             sd, torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------------------------- xcit
+
+def make_timm_xcit_sd(rng, dim=16, depth=2, heads=2, cls_depth=2,
+                      n_convs=3, hidden=8):
+    """Synthetic timm-format XCiT state dict (timm xcit.py naming)."""
+    sd = {
+        "cls_token": _r(rng, 1, 1, dim),
+        "pos_embed.token_projection.weight": _r(rng, dim, 2 * hidden, 1, 1),
+        "pos_embed.token_projection.bias": _r(rng, dim),
+        "norm.weight": 1 + _r(rng, dim),
+        "norm.bias": _r(rng, dim),
+    }
+    f = dim // 2 ** (n_convs - 1)
+    chans = [3] + [min(f * 2 ** i, dim) for i in range(n_convs)]
+    for i in range(n_convs):
+        k = 2 * i
+        sd[f"patch_embed.proj.{k}.0.weight"] = _r(rng, chans[i + 1],
+                                                  chans[i], 3, 3)
+        sd[f"patch_embed.proj.{k}.1.weight"] = 1 + _r(rng, chans[i + 1])
+        sd[f"patch_embed.proj.{k}.1.bias"] = _r(rng, chans[i + 1])
+        sd[f"patch_embed.proj.{k}.1.running_mean"] = _r(rng, chans[i + 1])
+        sd[f"patch_embed.proj.{k}.1.running_var"] = (
+            1 + np.abs(_r(rng, chans[i + 1])))
+    for i in range(depth):
+        b = f"blocks.{i}"
+        for nm in ("norm1", "norm2", "norm3"):
+            sd[f"{b}.{nm}.weight"] = 1 + _r(rng, dim)
+            sd[f"{b}.{nm}.bias"] = _r(rng, dim)
+        sd[f"{b}.attn.qkv.weight"] = _r(rng, 3 * dim, dim)
+        sd[f"{b}.attn.qkv.bias"] = _r(rng, 3 * dim)
+        sd[f"{b}.attn.temperature"] = 1 + _r(rng, heads, 1, 1)
+        sd[f"{b}.attn.proj.weight"] = _r(rng, dim, dim)
+        sd[f"{b}.attn.proj.bias"] = _r(rng, dim)
+        for c in ("conv1", "conv2"):
+            sd[f"{b}.local_mp.{c}.weight"] = _r(rng, dim, 1, 3, 3)
+            sd[f"{b}.local_mp.{c}.bias"] = _r(rng, dim)
+        sd[f"{b}.local_mp.bn.weight"] = 1 + _r(rng, dim)
+        sd[f"{b}.local_mp.bn.bias"] = _r(rng, dim)
+        sd[f"{b}.local_mp.bn.running_mean"] = _r(rng, dim)
+        sd[f"{b}.local_mp.bn.running_var"] = 1 + np.abs(_r(rng, dim))
+        sd[f"{b}.mlp.fc1.weight"] = _r(rng, 4 * dim, dim)
+        sd[f"{b}.mlp.fc1.bias"] = _r(rng, 4 * dim)
+        sd[f"{b}.mlp.fc2.weight"] = _r(rng, dim, 4 * dim)
+        sd[f"{b}.mlp.fc2.bias"] = _r(rng, dim)
+        for g in ("gamma1", "gamma2", "gamma3"):
+            sd[f"{b}.{g}"] = np.full(dim, 0.5, np.float32)
+    for i in range(cls_depth):
+        b = f"cls_attn_blocks.{i}"
+        for nm in ("norm1", "norm2"):
+            sd[f"{b}.{nm}.weight"] = 1 + _r(rng, dim)
+            sd[f"{b}.{nm}.bias"] = _r(rng, dim)
+        for nm in ("q", "k", "v", "proj"):
+            sd[f"{b}.attn.{nm}.weight"] = _r(rng, dim, dim)
+            sd[f"{b}.attn.{nm}.bias"] = _r(rng, dim)
+        sd[f"{b}.mlp.fc1.weight"] = _r(rng, 4 * dim, dim)
+        sd[f"{b}.mlp.fc1.bias"] = _r(rng, 4 * dim)
+        sd[f"{b}.mlp.fc2.weight"] = _r(rng, dim, 4 * dim)
+        sd[f"{b}.mlp.fc2.bias"] = _r(rng, dim)
+        sd[f"{b}.gamma1"] = np.full(dim, 0.5, np.float32)
+        sd[f"{b}.gamma2"] = np.full(dim, 0.5, np.float32)
+    return sd
+
+
+def timm_xcit_forward(sd, x, heads=2, tokens_norm=True):
+    """Independent torch mirror of timm XCiT (num_classes=0, eval).
+
+    Follows timm xcit.py forward_features/forward_head op for op:
+    ConvPatchEmbed (conv-BN(-GELU) x n), PositionalEncodingFourier via
+    cumsum-normalized grid coords, XCA blocks (token-normalized Q/K
+    cross-covariance attention + LPI + MLP with gamma scales), cls-token
+    append, ClassAttentionBlocks (incl. the norm1-token residual and the
+    token-doubling residual quirk), final norm, CLS pooling."""
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+    def ln(y, key):
+        return F.layer_norm(y, y.shape[-1:], t[f"{key}.weight"],
+                            t[f"{key}.bias"], eps=1e-6)
+
+    n_convs = sum(1 for k in range(0, 8, 2)
+                  if f"patch_embed.proj.{k}.0.weight" in sd)
+    y = x
+    for i in range(n_convs):
+        k = 2 * i
+        y = F.conv2d(y, t[f"patch_embed.proj.{k}.0.weight"], None,
+                     stride=2, padding=1)
+        y = F.batch_norm(
+            y, t[f"patch_embed.proj.{k}.1.running_mean"],
+            t[f"patch_embed.proj.{k}.1.running_var"],
+            t[f"patch_embed.proj.{k}.1.weight"],
+            t[f"patch_embed.proj.{k}.1.bias"], False, 0.1, 1e-5)
+        if i < n_convs - 1:
+            y = F.gelu(y)
+    B, C, H, W = y.shape
+    tok = y.flatten(2).transpose(1, 2)                      # [B, N, C]
+
+    # PositionalEncodingFourier (timm xcit.py): cumsum over an all-ones
+    # mask, normalized to 2*pi, sin/cos interleave, 1x1 projection
+    hidden = t["pos_embed.token_projection.weight"].shape[1] // 2
+    not_mask = torch.ones(1, H, W)
+    y_embed = not_mask.cumsum(1)
+    x_embed = not_mask.cumsum(2)
+    scale = 2 * np.pi
+    eps = 1e-6
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    dim_t = torch.arange(hidden, dtype=torch.float32)
+    dim_t = 10000.0 ** (2 * torch.div(dim_t, 2, rounding_mode="floor")
+                        / hidden)
+    pos_x = x_embed[:, :, :, None] / dim_t
+    pos_y = y_embed[:, :, :, None] / dim_t
+    pos_x = torch.stack([pos_x[:, :, :, 0::2].sin(),
+                         pos_x[:, :, :, 1::2].cos()], dim=4).flatten(3)
+    pos_y = torch.stack([pos_y[:, :, :, 0::2].sin(),
+                         pos_y[:, :, :, 1::2].cos()], dim=4).flatten(3)
+    pos = torch.cat((pos_y, pos_x), dim=3).permute(0, 3, 1, 2)
+    pos = F.conv2d(pos, t["pos_embed.token_projection.weight"],
+                   t["pos_embed.token_projection.bias"])
+    tok = tok + pos.flatten(2).transpose(1, 2)
+
+    i = 0
+    while f"blocks.{i}.attn.temperature" in sd:
+        b = f"blocks.{i}"
+        hd = C // heads
+        # XCA
+        h = ln(tok, f"{b}.norm1")
+        qkv = F.linear(h, t[f"{b}.attn.qkv.weight"], t[f"{b}.attn.qkv.bias"])
+        qkv = qkv.reshape(B, -1, 3, heads, hd).permute(2, 0, 3, 4, 1)
+        q, k, v = qkv[0], qkv[1], qkv[2]                    # [B, h, d, N]
+        q = F.normalize(q, dim=-1)
+        k = F.normalize(k, dim=-1)
+        attn = (q @ k.transpose(-2, -1)) * t[f"{b}.attn.temperature"]
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).permute(0, 3, 1, 2).reshape(B, -1, C)
+        out = F.linear(out, t[f"{b}.attn.proj.weight"],
+                       t[f"{b}.attn.proj.bias"])
+        tok = tok + t[f"{b}.gamma1"] * out
+        # LPI
+        h = ln(tok, f"{b}.norm3")
+        g = h.transpose(1, 2).reshape(B, C, H, W)
+        g = F.conv2d(g, t[f"{b}.local_mp.conv1.weight"],
+                     t[f"{b}.local_mp.conv1.bias"], padding=1, groups=C)
+        g = F.gelu(g)
+        g = F.batch_norm(g, t[f"{b}.local_mp.bn.running_mean"],
+                         t[f"{b}.local_mp.bn.running_var"],
+                         t[f"{b}.local_mp.bn.weight"],
+                         t[f"{b}.local_mp.bn.bias"], False, 0.1, 1e-5)
+        g = F.conv2d(g, t[f"{b}.local_mp.conv2.weight"],
+                     t[f"{b}.local_mp.conv2.bias"], padding=1, groups=C)
+        tok = tok + t[f"{b}.gamma3"] * g.flatten(2).transpose(1, 2)
+        # MLP
+        h = ln(tok, f"{b}.norm2")
+        h = F.linear(h, t[f"{b}.mlp.fc1.weight"], t[f"{b}.mlp.fc1.bias"])
+        h = F.gelu(h)
+        h = F.linear(h, t[f"{b}.mlp.fc2.weight"], t[f"{b}.mlp.fc2.bias"])
+        tok = tok + t[f"{b}.gamma2"] * h
+        i += 1
+
+    z = torch.cat([t["cls_token"].expand(B, -1, -1), tok], dim=1)
+    i = 0
+    while f"cls_attn_blocks.{i}.norm1.weight" in sd:
+        b = f"cls_attn_blocks.{i}"
+        hd = C // heads
+        zn = ln(z, f"{b}.norm1")
+        N1 = zn.shape[1]
+        q = F.linear(zn[:, 0:1], t[f"{b}.attn.q.weight"],
+                     t[f"{b}.attn.q.bias"])
+        k = F.linear(zn, t[f"{b}.attn.k.weight"], t[f"{b}.attn.k.bias"])
+        v = F.linear(zn, t[f"{b}.attn.v.weight"], t[f"{b}.attn.v.bias"])
+        q = q.reshape(B, 1, heads, hd).permute(0, 2, 1, 3) * hd ** -0.5
+        k = k.reshape(B, N1, heads, hd).permute(0, 2, 1, 3)
+        v = v.reshape(B, N1, heads, hd).permute(0, 2, 1, 3)
+        attn = (q @ k.transpose(-2, -1)).softmax(dim=-1)
+        cls = (attn @ v).transpose(1, 2).reshape(B, 1, C)
+        cls = F.linear(cls, t[f"{b}.attn.proj.weight"],
+                       t[f"{b}.attn.proj.bias"])
+        z_attn = torch.cat([cls, zn[:, 1:]], dim=1)
+        z = z + t[f"{b}.gamma1"] * z_attn
+        if tokens_norm:
+            z = ln(z, f"{b}.norm2")
+        else:
+            z = torch.cat([ln(z[:, 0:1], f"{b}.norm2"), z[:, 1:]], dim=1)
+        z_res = z
+        cls2 = z[:, 0:1]
+        cls2 = F.linear(cls2, t[f"{b}.mlp.fc1.weight"],
+                        t[f"{b}.mlp.fc1.bias"])
+        cls2 = F.gelu(cls2)
+        cls2 = F.linear(cls2, t[f"{b}.mlp.fc2.weight"],
+                        t[f"{b}.mlp.fc2.bias"])
+        cls2 = t[f"{b}.gamma2"] * cls2
+        z = torch.cat([cls2, z[:, 1:]], dim=1)
+        z = z_res + z
+        i += 1
+    return ln(z, "norm")[:, 0]
+
+
+def test_timm_xcit_parity():
+    """Converted timm XCiT state dict: our Flax forward == torch mirror,
+    including folded patch-embed BNs and the baked Fourier pos table."""
+    from effocr_tpu.interop.reference_artifacts import convert_timm_xcit
+    from effocr_tpu.models.vit import XCiT
+
+    rng = np.random.default_rng(11)
+    dim, heads, depth, cls_depth = 16, 2, 2, 2
+    sd = make_timm_xcit_sd(rng, dim=dim, depth=depth, heads=heads,
+                           cls_depth=cls_depth)
+    params, stats = convert_timm_xcit(sd, image_size=32)
+    model = XCiT(patch=8, dim=dim, depth=depth, heads=heads,
+                 cls_depth=cls_depth, image_size=32, dtype=jnp.float32)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=False))
+    with torch.no_grad():
+        ref = timm_xcit_forward(
+            sd, torch.from_numpy(x).permute(0, 3, 1, 2),
+            heads=heads).numpy()
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_detect_timm_arch_xcit():
+    rng = np.random.default_rng(12)
+    sd = make_timm_xcit_sd(rng, dim=384, depth=12, heads=8, cls_depth=2)
+    assert detect_timm_arch(sd) == "xcit_small_12_p8_224"
+
+
+# ------------------------------------------------------------------- onnx
+
+def _pb_varint(n):
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_len(field, payload):
+    return _pb_varint((field << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_int(field, val):
+    return _pb_varint(field << 3) + _pb_varint(val)
+
+
+def make_onnx_bytes(inits, nodes=()):
+    """Serialize a minimal ModelProto: graph(7) holding initializer
+    TensorProtos (5) and NodeProtos (1) — the writer-side mirror of
+    interop/onnx_import.read_onnx_graph."""
+    graph = b""
+    for op_type, inputs, outputs in nodes:
+        node = b""
+        for i in inputs:
+            node += _pb_len(1, i.encode())
+        for o in outputs:
+            node += _pb_len(2, o.encode())
+        node += _pb_len(4, op_type.encode())
+        graph += _pb_len(1, node)
+    for name, arr in inits.items():
+        arr = np.asarray(arr)
+        tp = b""
+        for d in arr.shape:
+            tp += _pb_int(1, d)
+        code = {np.dtype("float32"): 1, np.dtype("int64"): 7}[arr.dtype]
+        tp += _pb_int(2, code)
+        tp += _pb_len(8, name.encode())
+        tp += _pb_len(9, arr.astype(arr.dtype.newbyteorder("<")).tobytes())
+        graph += _pb_len(5, tp)
+    return _pb_len(7, graph)   # ModelProto.graph
+
+
+def test_onnx_initializer_roundtrip(tmp_path):
+    from effocr_tpu.interop.onnx_import import onnx_to_state_dict
+
+    rng = np.random.default_rng(21)
+    sd = {"net.conv_stem.weight": _r(rng, 8, 3, 3, 3),
+          "net.bn1.weight": 1 + _r(rng, 8)}
+    p = tmp_path / "enc_best.onnx"
+    p.write_bytes(make_onnx_bytes(sd))
+    got = onnx_to_state_dict(str(p))
+    assert set(got) == {"conv_stem.weight", "bn1.weight"}
+    np.testing.assert_array_equal(got["conv_stem.weight"],
+                                  sd["net.conv_stem.weight"])
+
+
+def test_onnx_matmul_weight_recovery(tmp_path):
+    """torch Linear on rank>2 input: anonymous transposed MatMul weight +
+    named Add bias -> recovered '<stem>.weight'."""
+    from effocr_tpu.interop.onnx_import import onnx_to_state_dict
+
+    rng = np.random.default_rng(22)
+    w = _r(rng, 12, 7)                      # torch [out, in]
+    b = _r(rng, 12)
+    inits = {"onnx::MatMul_123": np.ascontiguousarray(w.T),
+             "net.blocks.0.mlp.fc1.bias": b}
+    nodes = [("MatMul", ["x", "onnx::MatMul_123"], ["h"]),
+             ("Add", ["h", "net.blocks.0.mlp.fc1.bias"], ["y"])]
+    p = tmp_path / "enc_best.onnx"
+    p.write_bytes(make_onnx_bytes(inits, nodes))
+    got = onnx_to_state_dict(str(p))
+    np.testing.assert_allclose(got["blocks.0.mlp.fc1.weight"], w,
+                               rtol=1e-6)
+    np.testing.assert_allclose(got["blocks.0.mlp.fc1.bias"], b, rtol=1e-6)
+
+
+def test_import_onnx_only_dir(tmp_path):
+    """ONNX-only recognizer_dir (infer_effocr_onnx_multi.py:416-419):
+    full conversion -> our forward matches the torch mirror."""
+    import jax
+
+    from effocr_tpu.models.factory import create_encoder
+    from effocr_tpu.retrieval.index import PrototypeIndex
+    from effocr_tpu.train import checkpoint as ckpt
+
+    rng = np.random.default_rng(23)
+    sd = make_timm_mnv3_sd(rng, multiplier=0.5, head=64)
+    src = tmp_path / "ref_dir"
+    src.mkdir()
+    (src / "enc_best.onnx").write_bytes(
+        make_onnx_bytes({f"net.{k}": v for k, v in sd.items()}))
+    emb = rng.normal(size=(4, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    write_faiss_flat(str(src / "ref.index"), emb)
+    with open(src / "ref.txt", "w", encoding="utf-8") as f:
+        f.write("\n".join("wxyz") + "\n")
+
+    out = maybe_convert_reference_dir(str(src))
+    assert out == str(src / "tpu_converted")
+    index = PrototypeIndex.load(out)
+    assert index.chars == list("wxyz")
+
+    model = create_encoder("mobilenetv3_small_050", dtype=jnp.float32,
+                           head_features=64)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    restored = ckpt.load_variables(init, ckpt.best_checkpoint_path(out))
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(model.apply(restored, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        ref = timm_mnv3_forward(
+            sd, torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
