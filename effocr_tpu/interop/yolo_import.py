@@ -6,14 +6,11 @@ infer_ocr_yolo.py:273 torch.hub yolov5s).  Our Flax YOLOv5
 (models/yolo.py) is the same v6.0 module graph (6x6 stem, C3 3/6/9/3,
 SPPF, PAN, 3-scale anchor head), so a state-dict-level import is exact.
 
-``best.pt`` as saved by ultralytics is a full pickle of their Model class
-and cannot be unpickled without the ultralytics package; export the plain
-state dict first (one line, in the training environment):
-
-    torch.save(torch.load("best.pt")["model"].float().state_dict(),
-               "best_state.pt")
-
-then ``import-reference --localizer_pt best_state.pt --out <dir>``.
+``best.pt`` is accepted in either form: a plain state dict, or the full
+ultralytics pickle of their Model class — the latter is unpickled
+without the ultralytics package via interop/torch_pickle.py (permissive
+unpickler + module-tree walk).  ``import-reference --localizer_pt
+best.pt --out <dir>``.
 """
 
 from __future__ import annotations
@@ -144,17 +141,19 @@ def import_ultralytics_localizer(
 
     try:
         sd = torch.load(pt_path, map_location="cpu", weights_only=True)
-    except Exception as e:
-        raise ValueError(
-            f"{pt_path} is not a plain state dict (ultralytics best.pt "
-            "pickles their Model class; export the state dict first — "
-            "see interop/yolo_import.py docstring)") from e
-    if isinstance(sd, dict) and "model" in sd and not any(
-            k.startswith("model.") for k in sd):
-        raise ValueError(
-            f"{pt_path} looks like a full ultralytics checkpoint dict; "
-            "save ckpt['model'].float().state_dict() instead")
-    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+        if isinstance(sd, dict) and "model" in sd and not any(
+                k.startswith("model.") for k in sd):
+            raise ValueError("full checkpoint dict")
+        sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    except Exception:
+        # full ultralytics pickle (their Model class inside) — extract
+        # the tensors without the ultralytics package via the permissive
+        # unpickler (interop/torch_pickle.py)
+        from effocr_tpu.interop.torch_pickle import (
+            load_module_pickle_state_dict,
+        )
+
+        sd = load_module_pickle_state_dict(pt_path)
 
     name = detect_yolov5_variant(sd)
     params, stats, anchors, num_classes = convert_ultralytics_yolov5(sd)

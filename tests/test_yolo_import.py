@@ -190,7 +190,57 @@ def test_import_localizer_dir_roundtrip(tmp_path):
 
 
 def test_full_checkpoint_dict_rejected(tmp_path):
+    # a checkpoint dict whose "model" holds no module tree falls through
+    # the plain-state-dict path AND the full-pickle extractor
     pt = tmp_path / "full.pt"
     torch.save({"model": {"not": "a state dict"}, "epoch": 3}, pt)
-    with pytest.raises(ValueError, match="checkpoint dict"):
+    with pytest.raises(ValueError, match="no parameters found"):
         import_ultralytics_localizer(str(pt), str(tmp_path / "loc2"))
+
+
+def test_full_pickle_extraction(tmp_path):
+    """Full ultralytics-style checkpoint (foreign Model class pickled
+    whole): the permissive unpickler extracts the exact state dict
+    without the foreign package importable."""
+    import sys
+    import types
+
+    import numpy as np
+    import torch
+
+    from effocr_tpu.interop.torch_pickle import (
+        load_module_pickle_state_dict,
+    )
+
+    # fake "ultralytics" package, present only while SAVING
+    pkg = types.ModuleType("fake_ultra")
+    mod = types.ModuleType("fake_ultra.models")
+
+    class Conv(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(3, 4, 3, bias=False)
+            self.bn = torch.nn.BatchNorm2d(4)
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = torch.nn.Sequential(Conv(), Conv())
+
+    Conv.__module__ = Model.__module__ = "fake_ultra.models"
+    Conv.__qualname__, Model.__qualname__ = "Conv", "Model"
+    mod.Conv, mod.Model = Conv, Model
+    sys.modules["fake_ultra"] = pkg
+    sys.modules["fake_ultra.models"] = mod
+    try:
+        m = Model().half()           # ultralytics saves fp16
+        want = {k: v.float().numpy() for k, v in m.state_dict().items()
+                if "num_batches_tracked" not in k}
+        torch.save({"model": m, "epoch": 3}, tmp_path / "best.pt")
+    finally:
+        del sys.modules["fake_ultra"], sys.modules["fake_ultra.models"]
+
+    got = load_module_pickle_state_dict(str(tmp_path / "best.pt"))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6)
