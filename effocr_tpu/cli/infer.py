@@ -214,6 +214,7 @@ def load_engine(args) -> EffOCRInference:
         crop_window=args.crop_window,
         box_pad=args.box_pad,
         tile_min_content_h=args.tile_min_h,
+        max_words_per_line=args.max_words,
     )
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -294,6 +295,12 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                         "for the reference's max_nms=30000; suppression "
                         "work is O(max_nms^2) so size to the workload — "
                         "text lines carry <=~100 raw candidates)")
+    p.add_argument("--max_words", type=int, default=64,
+                   help="per-line word-box slots in the packed device "
+                        "output (en only).  Word boxes are the bulk of "
+                        "the device->host transfer at line_batch 256; "
+                        "typical lines carry <10 words, so 16 halves the "
+                        "payload losslessly")
     p.add_argument("--max_det", type=int, default=1000,
                    help="kept detections per line after NMS "
                         "(localizer_engine.py:62 max_det=1000; tighter "

@@ -67,6 +67,9 @@ bench_stage hn_trim "$LB256"
 bench_stage hn_det96 "$LB256"', "--max_det", "96"'
 # 5. bigger chunks: fewer relay round trips (recompile)
 bench_stage hn_det128_lb512 '"--line_batch", "512", "--crop_batch", "16384", "--max_det", "128"'
+# 6. shrink the packed device->host payload: word boxes are 2/3 of it at
+#    max_words 64; reading-order slice makes 16 lossless here (recompile)
+bench_stage hn_det128_w16 "$LB256"', "--max_det", "128", "--max_words", "16"'
 
 stage pick_northstar - 300 -- python "$REPO/scripts/pick_northstar.py"
 stage_summary
