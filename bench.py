@@ -71,6 +71,7 @@ def run_trained(spec):
     engine.run(paths)                               # warm every chunk shape
 
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    engine.timer.reset()          # profile the timed region only
     samples, results = [], None
     for _ in range(repeats):
         start = time.time()

@@ -42,7 +42,12 @@ from effocr_tpu.kernels.image_ops import (
 from effocr_tpu.kernels.retrieval import knn_topk, l2_normalize
 from effocr_tpu.kernels.roi import crop_lines_to_squares
 from effocr_tpu.kernels.yolo_decode import decode_and_nms
-from effocr_tpu.pipelines.lang import en_postprocess, en_preprocess, jp_preprocess
+from effocr_tpu.pipelines.lang import (
+    en_postprocess,
+    en_preprocess,
+    jp_preprocess,
+    word_end_indices,
+)
 from effocr_tpu.retrieval.index import PrototypeIndex
 
 logger = logging.getLogger(__name__)
@@ -270,6 +275,15 @@ class EffOCRInference:
         self.class_map = class_map
         self.classifier_mode = class_map is not None
         assert self.classifier_mode or index is not None
+        # O(1) vectorized char decode for the hot consumer path (a per-
+        # char dict/lambda round trip costs real ms at 8k crops/chunk)
+        if self.classifier_mode:
+            hi = max(class_map, default=0) + 1
+            self._char_lookup = np.array(
+                [class_map.get(i, "") for i in range(hi)], dtype=object)
+        else:
+            self._char_lookup = np.array(
+                list(index.chars) or [""], dtype=object)
         c = config
 
         @jax.jit
@@ -657,7 +671,8 @@ class EffOCRInference:
         def _pop_finish():
             with self.timer.stage("main/wait_prep"):
                 handle = pending.popleft().result()
-            self._finish_chunk(handle, results, coco_boxes, tile_ctx)
+            self._finish_chunk(handle, results, coco_boxes, tile_ctx,
+                               want_coco=return_coco)
 
         with self.timer.stage("main/run_wall"), \
                 ThreadPoolExecutor(max_workers=1) as prep:
@@ -978,9 +993,10 @@ class EffOCRInference:
                     fused_out=fused_out)
 
     def _finish_chunk(self, handle, results, coco_boxes,
-                      tile_ctx=None) -> None:
+                      tile_ctx=None, want_coco=True) -> None:
         if "fused_out" in handle:
-            return self._finish_fused(handle, results, coco_boxes, tile_ctx)
+            return self._finish_fused(handle, results, coco_boxes, tile_ctx,
+                                      want_coco=want_coco)
         c = self.config
         chunk = handle["chunk"]
         chunk_keys = handle["chunk_keys"]
@@ -1148,7 +1164,7 @@ class EffOCRInference:
         return visual_spell_checker(out, worddict, vsim, abbrevs)
 
     def _finish_fused(self, handle, results, coco_boxes,
-                      tile_ctx=None) -> None:
+                      tile_ctx=None, want_coco=True) -> None:
         """Host side of the fused path: one device_get, then pure-Python
         word boundaries + postprocess.  Under a data mesh the buffer is
         [n_shards, out_len] — one independent packed segment per device's
@@ -1173,6 +1189,7 @@ class EffOCRInference:
                 leftover = self._finish_fused_segment(
                     segs[d], chunk[lo : lo + n_d], chunk_keys[lo : lo + n_d],
                     metas[lo : lo + n_d], ld, results, coco_boxes, tile_ctx,
+                    want_coco=want_coco,
                 )
                 if leftover is not None:
                     left_chunk.extend(leftover[0])
@@ -1180,11 +1197,12 @@ class EffOCRInference:
         if left_chunk:
             self._finish_chunk(
                 self._dispatch_chunk(left_chunk, left_keys),
-                results, coco_boxes, tile_ctx,
+                results, coco_boxes, tile_ctx, want_coco=want_coco,
             )
 
     def _finish_fused_segment(self, buf, chunk, chunk_keys, metas, nb,
-                              results, coco_boxes, tile_ctx=None):
+                              results, coco_boxes, tile_ctx=None,
+                              want_coco=True):
         """Decode one device's packed segment (nb line slots, len(chunk)
         real lines).  Returns (lines, keys) to re-dispatch on crop-slot
         overflow, else None."""
@@ -1240,10 +1258,7 @@ class EffOCRInference:
                 leftover = (chunk[first_bad:], chunk_keys[first_bad:])
                 n = first_bad
 
-        if self.classifier_mode:
-            decode = lambda j: self.class_map.get(int(j), "")
-        else:
-            decode = lambda j: self.index.chars[int(j)]
+        lookup = self._char_lookup
 
         from effocr_tpu.pipelines.tiling import TileKey
 
@@ -1251,7 +1266,7 @@ class EffOCRInference:
         for i in range(n):
             k = int(n_chars[i])
             boxes_i = flat_boxes[pos : pos + k]
-            chars_i = [decode(j) for j in nn_idx[pos : pos + k]]
+            chars_i = lookup[nn_idx[pos : pos + k] % len(lookup)]
             pos += k
 
             if tile_ctx is not None and isinstance(chunk_keys[i], TileKey):
@@ -1293,18 +1308,16 @@ class EffOCRInference:
                     )
                 continue
 
-            heights = (boxes_i[:, 3] - boxes_i[:, 1]).tolist()
-            bottoms = boxes_i[:, 3].tolist()
             text = "".join(x[0] for x in chars_i if x).strip() if k else ""
 
             if c.lang == "en" and k:
                 wv = word_valid[i]
-                words_i = word_boxes[i][wv].tolist()
-                _, word_end_idx = en_preprocess(
-                    boxes_i.tolist(), words_i, vertical=c.vertical
+                word_end_idx = word_end_indices(
+                    boxes_i, word_boxes[i][wv], vertical=c.vertical
                 )
                 out = en_postprocess(
-                    text, word_end_idx, heights, bottoms,
+                    text, word_end_idx,
+                    boxes_i[:, 3] - boxes_i[:, 1], boxes_i[:, 3],
                     anchor_margin=c.anchor_margin,
                     anchor_multiplier=c.anchor_multiplier,
                 )
@@ -1314,6 +1327,8 @@ class EffOCRInference:
                 out = self._spell_check(out)
             results[chunk_keys[i]] = out
 
+            if not want_coco:
+                continue
             meta = metas[i]
             orig_boxes = []
             for b, ch in zip(boxes_i.tolist(), chars_i):

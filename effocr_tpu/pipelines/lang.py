@@ -53,6 +53,39 @@ def en_preprocess(
     return sorted_chars, word_end_idx
 
 
+def word_end_indices(
+    char_boxes, word_boxes, vertical: bool = False
+) -> List[int]:
+    """Vectorized ``en_preprocess`` word-end computation (numpy arrays in,
+    no list round-trips) for the hot consumer path.
+
+    Semantics are exactly en_preprocess (and the reference,
+    infer_effocr_onnx_multi.py:70-89) including the quirk that a word
+    with no char right-edge beyond its left edge inherits the PREVIOUS
+    word's index (``closest_idx`` carries across iterations).  Indices
+    are into the x0-sorted (y0 if vertical) char order.  Golden-tested
+    against en_preprocess in tests/test_lang.py.
+    """
+    import numpy as np
+
+    cb = np.asarray(char_boxes, np.float32).reshape(-1, 4)
+    wb = np.asarray(word_boxes, np.float32).reshape(-1, 4)
+    ax = 1 if vertical else 0
+    cb = cb[np.argsort(cb[:, ax], kind="stable")]
+    wb = wb[np.argsort(wb[:, ax], kind="stable")]
+    rights = cb[:, 2]
+    out: List[int] = []
+    closest = 0
+    for wl in wb[:, 0]:
+        qual = rights > wl
+        if qual.any():
+            closest = int(
+                np.where(qual, np.abs(wl - rights), np.inf).argmin()
+            )
+        out.append(closest)
+    return out
+
+
 def _flatten(items):
     for item in items:
         if isinstance(item, (tuple, list)):

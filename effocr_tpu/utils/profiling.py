@@ -45,6 +45,12 @@ class StageTimer:
             self.totals[name] += dt
             self.counts[name] += 1
 
+    def reset(self) -> None:
+        """Drop accumulated stats (e.g. after compile/warmup passes, so a
+        report covers only the timed region)."""
+        self.totals.clear()
+        self.counts.clear()
+
     def report(self) -> str:
         lines = []
         for name in sorted(self.totals, key=self.totals.get, reverse=True):

@@ -82,3 +82,28 @@ def test_jp_preprocess():
     assert jp_preprocess(chars, vertical=True)[0][1] == 0
     chars = [box(30, 0, 40, 10), box(0, 0, 10, 10)]
     assert jp_preprocess(chars, vertical=False)[0][0] == 0
+
+
+def test_word_end_indices_matches_en_preprocess():
+    """Vectorized hot-path variant == en_preprocess golden, including the
+    carried-closest-idx quirk for words with no qualifying char."""
+    import numpy as np
+
+    from effocr_tpu.pipelines.lang import en_preprocess, word_end_indices
+
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        n_c = int(rng.integers(1, 40))
+        n_w = int(rng.integers(1, 12))
+        x0 = rng.uniform(0, 600, n_c)
+        cb = np.stack([x0, rng.uniform(0, 5, n_c), x0 + rng.uniform(2, 20, n_c),
+                       rng.uniform(10, 30, n_c)], axis=1).astype(np.float32)
+        wx0 = rng.uniform(-20, 640, n_w)
+        wb = np.stack([wx0, rng.uniform(0, 5, n_w), wx0 + rng.uniform(5, 80, n_w),
+                       rng.uniform(10, 30, n_w)], axis=1).astype(np.float32)
+        _, want = en_preprocess(cb.tolist(), wb.tolist())
+        got = word_end_indices(cb, wb)
+        assert got == want
+        # vertical too
+        _, want_v = en_preprocess(cb.tolist(), wb.tolist(), vertical=True)
+        assert word_end_indices(cb, wb, vertical=True) == want_v
