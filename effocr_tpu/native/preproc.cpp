@@ -31,30 +31,68 @@ namespace {
 
 inline void resize_bilinear_u8(const uint8_t* src, int sh, int sw,
                                uint8_t* dst, int dh, int dw, int channels) {
+  // Separable evaluation with precomputed x taps and a two-row float
+  // cache: the naive form recomputed the x coefficients for every pixel
+  // and re-interpolated each source row up to twice (upscales reuse row
+  // pairs across consecutive output rows).  The arithmetic per output
+  // value is the EXACT float expression of the naive form — same
+  // operand order, same promotions — so results are bit-identical
+  // (tests/test_native.py asserts exactness vs the numpy reference).
   const float sy = static_cast<float>(sh) / dh;
   const float sx = static_cast<float>(sw) / dw;
+  std::vector<int> x0s(dw), x1s(dw);
+  std::vector<float> wxs(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    fx = std::max(0.0f, std::min(fx, static_cast<float>(sw - 1)));
+    const int x0 = static_cast<int>(fx);
+    x0s[x] = x0;
+    x1s[x] = std::min(x0 + 1, sw - 1);
+    wxs[x] = fx - x0;
+  }
+  const size_t rw = static_cast<size_t>(dw) * channels;
+  std::vector<float> rowA(rw), rowB(rw);
+  int rowA_y = -1, rowB_y = -1;
+  auto interp_row = [&](int ysrc, std::vector<float>& out_row) {
+    const uint8_t* r = src + static_cast<size_t>(ysrc) * sw * channels;
+    float* o = out_row.data();
+    for (int x = 0; x < dw; ++x) {
+      const uint8_t* p0 = r + x0s[x] * channels;
+      const uint8_t* p1 = r + x1s[x] * channels;
+      const float wx = wxs[x];
+      for (int c = 0; c < channels; ++c) {
+        o[x * channels + c] = p0[c] + (p1[c] - p0[c]) * wx;
+      }
+    }
+  };
   for (int y = 0; y < dh; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     fy = std::max(0.0f, std::min(fy, static_cast<float>(sh - 1)));
     const int y0 = static_cast<int>(fy);
     const int y1 = std::min(y0 + 1, sh - 1);
     const float wy = fy - y0;
-    for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      fx = std::max(0.0f, std::min(fx, static_cast<float>(sw - 1)));
-      const int x0 = static_cast<int>(fx);
-      const int x1 = std::min(x0 + 1, sw - 1);
-      const float wx = fx - x0;
-      const uint8_t* p00 = src + (y0 * sw + x0) * channels;
-      const uint8_t* p01 = src + (y0 * sw + x1) * channels;
-      const uint8_t* p10 = src + (y1 * sw + x0) * channels;
-      const uint8_t* p11 = src + (y1 * sw + x1) * channels;
-      uint8_t* out = dst + (y * dw + x) * channels;
-      for (int c = 0; c < channels; ++c) {
-        const float top = p00[c] + (p01[c] - p00[c]) * wx;
-        const float bot = p10[c] + (p11[c] - p10[c]) * wx;
-        out[c] = static_cast<uint8_t>(top + (bot - top) * wy + 0.5f);
+    if (rowA_y != y0 && rowB_y == y0) {
+      std::swap(rowA, rowB);
+      std::swap(rowA_y, rowB_y);
+    }
+    if (rowA_y != y0) {
+      interp_row(y0, rowA);
+      rowA_y = y0;
+    }
+    const std::vector<float>* bot = &rowA;
+    if (y1 != y0) {
+      if (rowB_y != y1) {
+        interp_row(y1, rowB);
+        rowB_y = y1;
       }
+      bot = &rowB;
+    }
+    const float* ta = rowA.data();
+    const float* ba = bot->data();
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * channels;
+    for (size_t j = 0; j < rw; ++j) {
+      const float top = ta[j];
+      out[j] = static_cast<uint8_t>(top + (ba[j] - top) * wy + 0.5f);
     }
   }
 }

@@ -859,6 +859,10 @@ class EffOCRInference:
                         jnp.asarray(packed), jnp.asarray(meta_arr), protos,
                         row_mask,
                     )
+                    try:
+                        fused_out.copy_to_host_async()
+                    except AttributeError:
+                        pass
             elif c.transfer_bits == 2:
                 assert size_w % 4 == 0
                 d = dither_offsets(lb_imgs.shape[1], size_w)
@@ -933,6 +937,14 @@ class EffOCRInference:
         with self.timer.stage("prep/h2d+dispatch"):
             fused_out = fn(jnp.asarray(buf), jnp.asarray(meta_arr), protos,
                            row_mask)
+            # start the device->host copy now: it completes as soon as the
+            # device program does, overlapping the relay transfer with the
+            # host's work on earlier chunks instead of serializing inside
+            # the consumer's blocking device_get
+            try:
+                fused_out.copy_to_host_async()
+            except AttributeError:
+                pass
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                     fused_out=fused_out)
 
