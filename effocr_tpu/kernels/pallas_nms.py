@@ -90,38 +90,40 @@ def _nms_kernel(rows_ref, cols_ref, keep_ref, sup_ref, *, n, iou_thresh):
         rj = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
         s_f = jnp.where(tt & (ri < rj), 1.0, 0.0)                # [T, T]
 
-        vrow = vr[:, s:s + TILE] > 0.0                           # [1, T]
-        prior = sup_ref[0:1, s:s + TILE] > 0.0
-        kept0 = jnp.zeros((1, TILE), jnp.bool_)
-        und0 = vrow & jnp.logical_not(prior)
+        vrow = jnp.where(vr[:, s:s + TILE] > 0.0, 1.0, 0.0)      # [1, T]
+        prior = jnp.where(sup_ref[0:1, s:s + TILE] > 0.0, 1.0, 0.0)
+        kept0 = jnp.zeros((1, TILE), jnp.float32)
+        und0 = vrow * (1.0 - prior)
 
         # fixpoint resolve (nms.py nms_mask): each iteration finalizes
         # every box whose fate depends only on already-final boxes —
         # at least the top undecided box, so it terminates.  The
         # OR-reductions over rows run as [1,T] @ [T,T] MXU products
-        # (0/1 sums of <=128 terms are exact in f32).
+        # (0/1 sums of <=128 terms are exact in f32).  All carried
+        # vectors are f32 0/1 indicators: Mosaic fails to legalize
+        # while_loop carries of i1 vectors (scf.yield) on real TPU.
         def cond(state):
             _, _, und = state
-            return jnp.any(und)
+            return jnp.sum(und) > 0.0
 
         def body(state):
             kept, supp, und = state
-            contested = jnp.where(kept | und, 1.0, 0.0)          # [1, T]
+            contested = kept + und                               # [1, T] 0/1
             by_contested = jax.lax.dot_general(
                 contested, s_f,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) > 0.0
+            )
             by_kept = jax.lax.dot_general(
-                jnp.where(kept, 1.0, 0.0), s_f,
+                kept, s_f,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) > 0.0
-            newly_kept = und & jnp.logical_not(by_contested)
-            newly_sup = und & by_kept
-            kept = kept | newly_kept
-            supp = supp | newly_sup
-            und = und & jnp.logical_not(newly_kept | newly_sup)
+            )
+            newly_kept = und * jnp.where(by_contested > 0.0, 0.0, 1.0)
+            newly_sup = und * jnp.where(by_kept > 0.0, 1.0, 0.0)
+            kept = kept + newly_kept
+            supp = supp + newly_sup
+            und = und - newly_kept - newly_sup
             return kept, supp, und
 
         kept, _, _ = jax.lax.while_loop(cond, body, (kept0, prior, und0))
@@ -131,7 +133,7 @@ def _nms_kernel(rows_ref, cols_ref, keep_ref, sup_ref, *, n, iou_thresh):
         # final kept boxes of this tile suppress everything they overlap
         # (only later tiles ever read the flag, so no index mask needed)
         sup_new = jax.lax.dot_general(
-            jnp.where(kept, 1.0, 0.0), jnp.where(overl, 1.0, 0.0),
+            kept, jnp.where(overl, 1.0, 0.0),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [1, N]
