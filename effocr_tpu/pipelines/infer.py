@@ -276,14 +276,17 @@ class EffOCRInference:
         self.classifier_mode = class_map is not None
         assert self.classifier_mode or index is not None
         # O(1) vectorized char decode for the hot consumer path (a per-
-        # char dict/lambda round trip costs real ms at 8k crops/chunk)
+        # char dict/lambda round trip costs real ms at 8k crops/chunk).
+        # Entries are pre-reduced to their first character — every
+        # consumer applied `x[0] if x else ""` anyway — so the text join
+        # needs no per-char conditional.
         if self.classifier_mode:
             hi = max(class_map, default=0) + 1
-            self._char_lookup = np.array(
-                [class_map.get(i, "") for i in range(hi)], dtype=object)
+            raw = [class_map.get(i, "") for i in range(hi)]
         else:
-            self._char_lookup = np.array(
-                list(index.chars) or [""], dtype=object)
+            raw = list(index.chars) or [""]
+        self._char_lookup = np.array(
+            [c[0] if c else "" for c in raw], dtype=object)
         c = config
 
         @jax.jit
@@ -1320,7 +1323,7 @@ class EffOCRInference:
                     )
                 continue
 
-            text = "".join(x[0] for x in chars_i if x).strip() if k else ""
+            text = "".join(chars_i.tolist()).strip() if k else ""
 
             if c.lang == "en" and k:
                 wv = word_valid[i]

@@ -71,17 +71,27 @@ def word_end_indices(
     cb = np.asarray(char_boxes, np.float32).reshape(-1, 4)
     wb = np.asarray(word_boxes, np.float32).reshape(-1, 4)
     ax = 1 if vertical else 0
-    cb = cb[np.argsort(cb[:, ax], kind="stable")]
-    wb = wb[np.argsort(wb[:, ax], kind="stable")]
+    ck = cb[:, ax]
+    wk = wb[:, ax]
+    # device output is already reading-order sorted; skip the argsorts
+    # when monotone (the common case) — stable sort of sorted = identity
+    if ck.size > 1 and not (ck[1:] >= ck[:-1]).all():
+        cb = cb[np.argsort(ck, kind="stable")]
+    if wk.size > 1 and not (wk[1:] >= wk[:-1]).all():
+        wb = wb[np.argsort(wk, kind="stable")]
     rights = cb[:, 2]
+    # one [m, k] pass: per word, first index minimizing |wordleft - right|
+    # among chars whose right edge passes the word's left edge
+    wl = wb[:, 0:1]                                       # [m, 1]
+    qual = rights[None, :] > wl                           # [m, k]
+    dist = np.where(qual, np.abs(wl - rights[None, :]), np.inf)
+    best = dist.argmin(axis=1)
+    has = qual.any(axis=1)
     out: List[int] = []
     closest = 0
-    for wl in wb[:, 0]:
-        qual = rights > wl
-        if qual.any():
-            closest = int(
-                np.where(qual, np.abs(wl - rights), np.inf).argmin()
-            )
+    for b, h in zip(best, has):
+        if h:
+            closest = int(b)
         out.append(closest)
     return out
 
@@ -117,23 +127,20 @@ def en_postprocess(
     ):
         return None
 
+    # single fused pass (was three comprehensions + a recursive flatten —
+    # this runs per line on the inference hot path)
     word_end_set = set(word_end_idx)
-    outchars = [
-        " " + c if i in word_end_set else c
-        for i, c in enumerate(line_output)
-    ]
-    heights = list(
-        _flatten(
-            [(LARGE_NUMBER, h) if i in word_end_set else h
-             for i, h in enumerate(charheights)]
-        )
-    )
-    bottoms = list(
-        _flatten(
-            [(0, x) if i in word_end_set else x
-             for i, x in enumerate(charbottoms)]
-        )
-    )
+    outchars: List[str] = []
+    heights: List[float] = []
+    bottoms: List[float] = []
+    for i, c in enumerate(line_output):
+        if i in word_end_set:
+            outchars.append(" ")
+            heights.append(LARGE_NUMBER)
+            bottoms.append(0)
+        outchars.append(c)
+        heights.append(charheights[i])
+        bottoms.append(charbottoms[i])
     if bottoms and bottoms[0] == 0:
         bottoms = bottoms[1:]
     if heights and heights[0] == LARGE_NUMBER:
@@ -144,8 +151,10 @@ def en_postprocess(
         f"heights = {len(heights)}; output = {len(line)}"
     )
 
+    if anchor_margin is None:
+        return line
     distinct_idx = [i for i, c in enumerate(line) if c in DISTINCT_LOWERCASE]
-    if len(distinct_idx) == 0 or anchor_margin is None:
+    if len(distinct_idx) == 0:
         return line
 
     avg_h = sum(heights[i] for i in distinct_idx) / len(distinct_idx)
