@@ -825,3 +825,38 @@ def test_chunk_canvas_dims_unit(engine_parts):
         [np.zeros((65, 532, 3), np.uint8)]) == 64
     assert eng_n._chunk_canvas_height(
         [np.zeros((90, 532, 3), np.uint8)]) == 96
+
+
+def test_pipeline_max_words_cap(engine_parts):
+    """--max_words shrinks the packed word payload; reading-order slice
+    keeps the first N words, so a cap >= the true word count is lossless
+    and an overflowing cap drops only TRAILING spaces."""
+    encoder, enc_vars, index = engine_parts
+    text = "Ab X oT kX"                      # 4 words -> 3 word boxes? no: 4
+    line = make_line(text)
+    imgs = [line[0]]
+    lb_c = [to_letterbox_space(line[1], imgs[0].shape[0], imgs[0].shape[1])]
+    lb_w = [to_letterbox_space(line[2], imgs[0].shape[0], imgs[0].shape[1])]
+    decoded = make_decoded_predictions(lb_c, lb_w, [None])
+
+    def run(max_words):
+        cfg = PipelineConfig(
+            lang="en",
+            localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                      max_det=64, max_nms=64),
+            encoder=EncoderConfig(arch="tiny"),
+            line_batch=1,
+            crop_batch=32,
+            max_words_per_line=max_words,
+        )
+        engine = EffOCRInference(
+            cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+        )
+        return engine.run(imgs)[0]
+
+    assert run(8) == text                     # cap >= word count: lossless
+    assert run(4) == text
+    capped = run(2)                           # fewer slots than words
+    assert capped.replace(" ", "") == text.replace(" ", "")
+    # the kept spaces are the leading ones (reading-order slice)
+    assert capped.split(" ")[0] == text.split(" ")[0]
