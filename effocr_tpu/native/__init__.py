@@ -74,6 +74,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
     ]
+    lib.decode_letterbox_gray_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint8, ctypes.c_int,
+        u8pp, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return _lib
 
@@ -203,6 +211,54 @@ def decode_png(
     """Single-image native PNG decode; None -> caller falls back to PIL."""
     arrs, _ = decode_png_batch([path], [(h, w, channels)], num_threads=1)
     return arrs[0]
+
+
+def decode_letterbox_gray_batch(
+    paths: Sequence[str], shapes: Sequence[Tuple[int, int]],
+    size: int, out: np.ndarray, pad_val: int = 114, num_threads: int = 8,
+    out_h: Optional[int] = None, pack_bits: int = 8,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Fused PNG decode -> gray letterbox -> pack, straight from file
+    paths into the caller's canvas buffer (one native pass per image —
+    no intermediate arrays cross the language boundary).
+
+    ``out`` must be a C-contiguous uint8 buffer whose first
+    ``len(paths)`` planes are [out_h, size * pack_bits / 8].  Returns
+    (ratios, tops, lefts), or None if ANY image failed native decode
+    (the caller redoes the chunk via the two-step path; the buffer
+    contents are then undefined).  Results are bit-identical to
+    decode_png_batch + letterbox_gray_batch.
+    """
+    lib = _load()
+    assert lib is not None, "native preproc unavailable"
+    assert pack_bits in (2, 4, 8)
+    n = len(paths)
+    oh = out_h or size
+    assert size % (8 // pack_bits) == 0, (size, pack_bits)
+    assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+    assert out.size >= n * oh * (size * pack_bits // 8), (out.shape, n)
+    ratios = np.empty((n,), np.float32)
+    tops = np.empty((n,), np.int32)
+    lefts = np.empty((n,), np.int32)
+    status = np.empty((n,), np.int32)
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    cpaths = (ctypes.c_char_p * n)()
+    for i, (p, s) in enumerate(zip(paths, shapes)):
+        hs[i], ws[i] = int(s[0]), int(s[1])
+        cpaths[i] = os.fsencode(p)
+    u8pp = ctypes.POINTER(ctypes.c_uint8)
+    lib.decode_letterbox_gray_batch(
+        cpaths, hs, ws, n, oh, size, pack_bits, pad_val, num_threads,
+        out.ctypes.data_as(u8pp),
+        ratios.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        lefts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    if (status != 0).any():
+        return None
+    return ratios, tops, lefts
 
 
 def crop_square_batch(

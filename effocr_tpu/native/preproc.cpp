@@ -359,15 +359,15 @@ void letterbox_batch(const uint8_t** imgs, const int* hs, const int* ws,
 // pack_bits 2 -> out [n, out_h, out_w/4], four pixels per byte,
 // MSB-first: (p0 & 0xC0) | ((p1 >> 2) & 0x30) | ((p2 >> 4) & 0x0C) |
 // (p3 >> 6).
-void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
-                          int n, int out_h, int out_w, int in_channels,
-                          int pack_bits, uint8_t pad_val, int num_threads,
-                          uint8_t* out, float* ratios, int* tops,
-                          int* lefts) {
+// One image of the gray letterbox+pack path (shared by
+// letterbox_gray_batch and the fused decode path below).
+inline void letterbox_gray_one(const uint8_t* gray_src, int h, int w,
+                               int out_h, int out_w, int pack_bits,
+                               uint8_t pad_val, uint8_t* dst, float* ratio,
+                               int* top_out, int* left_out) {
   const int packed_w = out_w * pack_bits / 8;
   const size_t plane = static_cast<size_t>(out_h) * packed_w;
-  parallel_for(n, num_threads, [&](int i) {
-    const int h = hs[i], w = ws[i];
+  {
     const float r = std::min(static_cast<float>(out_h) / h,
                              static_cast<float>(out_w) / w);
     const int nw = static_cast<int>(std::lround(w * r));
@@ -376,19 +376,6 @@ void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
     const float dh = (out_h - nh) / 2.0f;
     const int top = static_cast<int>(std::lround(dh - 0.1f));
     const int left = static_cast<int>(std::lround(dw - 0.1f));
-
-    // grayscale source: truncating mean of the channels (numpy
-    // .mean(-1).astype(uint8) semantics)
-    const uint8_t* gray_src = imgs[i];
-    std::vector<uint8_t> gray;
-    if (in_channels == 3) {
-      gray.resize(static_cast<size_t>(h) * w);
-      const uint8_t* p = imgs[i];
-      for (size_t j = 0; j < gray.size(); ++j, p += 3) {
-        gray[j] = static_cast<uint8_t>((p[0] + p[1] + p[2]) / 3);
-      }
-      gray_src = gray.data();
-    }
 
     std::vector<uint8_t> line(static_cast<size_t>(out_h) * out_w, pad_val);
     std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw);
@@ -403,7 +390,6 @@ void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
                   static_cast<size_t>(nw));
     }
 
-    uint8_t* dst = out + i * plane;
     if (pack_bits == 4) {
       const uint8_t* src = line.data();
       for (size_t j = 0; j < plane; ++j, src += 2) {
@@ -441,9 +427,59 @@ void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
     } else {
       std::memcpy(dst, line.data(), plane);
     }
-    ratios[i] = r;
-    tops[i] = top;
-    lefts[i] = left;
+    *ratio = r;
+    *top_out = top;
+    *left_out = left;
+  }
+}
+
+void letterbox_gray_batch(const uint8_t** imgs, const int* hs, const int* ws,
+                          int n, int out_h, int out_w, int in_channels,
+                          int pack_bits, uint8_t pad_val, int num_threads,
+                          uint8_t* out, float* ratios, int* tops,
+                          int* lefts) {
+  const size_t plane =
+      static_cast<size_t>(out_h) * (out_w * pack_bits / 8);
+  parallel_for(n, num_threads, [&](int i) {
+    const int h = hs[i], w = ws[i];
+    // grayscale source: truncating mean of the channels (numpy
+    // .mean(-1).astype(uint8) semantics)
+    const uint8_t* gray_src = imgs[i];
+    std::vector<uint8_t> gray;
+    if (in_channels == 3) {
+      gray.resize(static_cast<size_t>(h) * w);
+      const uint8_t* p = imgs[i];
+      for (size_t j = 0; j < gray.size(); ++j, p += 3) {
+        gray[j] = static_cast<uint8_t>((p[0] + p[1] + p[2]) / 3);
+      }
+      gray_src = gray.data();
+    }
+    letterbox_gray_one(gray_src, h, w, out_h, out_w, pack_bits, pad_val,
+                       out + i * plane, &ratios[i], &tops[i], &lefts[i]);
+  });
+}
+
+// Fused PNG decode -> gray letterbox -> sub-byte pack: one native pass
+// per image straight from file path to canvas row.  Removes the
+// per-image numpy arrays and the extra full-frame pass the separate
+// decode_png_batch + letterbox_gray_batch calls cost on the 1-core
+// inference host.  status[i] != 0 -> that image was NOT written (caller
+// falls back to the two-step path for the whole chunk).
+void decode_letterbox_gray_batch(const char** paths, const int* hs,
+                                 const int* ws, int n, int out_h,
+                                 int out_w, int pack_bits, uint8_t pad_val,
+                                 int num_threads, uint8_t* out,
+                                 float* ratios, int* tops, int* lefts,
+                                 int* status) {
+  const size_t plane =
+      static_cast<size_t>(out_h) * (out_w * pack_bits / 8);
+  parallel_for(n, num_threads, [&](int i) {
+    const int h = hs[i], w = ws[i];
+    std::vector<uint8_t> gray(static_cast<size_t>(h) * w);
+    status[i] = decode_png_one(paths[i], gray.data(), 1, h, w);
+    if (status[i] != 0) return;
+    letterbox_gray_one(gray.data(), h, w, out_h, out_w, pack_bits, pad_val,
+                       out + i * plane, &ratios[i], &tops[i], &lefts[i]);
   });
 }
 

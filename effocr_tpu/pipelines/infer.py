@@ -778,11 +778,30 @@ class EffOCRInference:
         Runs on the prep worker thread: lazy images decode here, so PNG
         inflation overlaps device execution of the previous chunks."""
         c = self.config
+        from effocr_tpu import native
+
+        if (
+            c.input_channels == 1
+            and c.crop_source == "letterbox"
+            and c.transfer != "bucket"
+            and c.transfer_bits in (2, 4, 8)
+            and native.available()
+            and chunk
+            and all(
+                isinstance(im, _LazyImage) and im._native and im._arr is None
+                for im in chunk
+            )
+        ):
+            # fused native fast path: PNG decode -> gray letterbox -> pack
+            # straight from file paths into the canvas buffer, one pass
+            handle = self._dispatch_gray_decode_fused(chunk, chunk_keys)
+            if handle is not None:
+                return handle
+
         with self.timer.stage("prep/decode"):
             chunk = _materialize_batch(chunk)
         size_h, size_w = self._chunk_canvas_dims(chunk)
         n = len(chunk)
-        from effocr_tpu import native
 
         if (
             c.input_channels == 1
@@ -896,6 +915,59 @@ class EffOCRInference:
         detect_out = self._detect(jnp.asarray(lb_imgs))
         return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
                     detect_out=detect_out)
+
+    def _dispatch_gray_decode_fused(self, chunk, chunk_keys):
+        """Fully fused host prep for lazy PNG chunks: ONE native pass does
+        decode + gray letterbox + sub-byte pack per image, file path ->
+        canvas row (native/preproc.cpp decode_letterbox_gray_batch).  No
+        per-image numpy arrays, no second full-frame pass.  Bit-identical
+        to _dispatch_gray_native over _materialize_batch.  Returns None if
+        any image fails native decode — the caller falls back."""
+        c = self.config
+        from effocr_tpu import native
+
+        size_h, size_w = self._chunk_canvas_dims(chunk)
+        n = len(chunk)
+        bits = c.transfer_bits if c.transfer_bits in (2, 4) else 8
+        w_out = size_w * bits // 8
+        pad_byte = {2: 0x55, 4: 0x77, 8: 114}[bits]
+        buf = np.full((c.line_batch, size_h, w_out, 1), pad_byte, np.uint8)
+        with self.timer.stage("prep/decode+letterbox"):
+            res = native.decode_letterbox_gray_batch(
+                [im.path for im in chunk],
+                [im.shape[:2] for im in chunk],
+                size_w, buf, out_h=size_h, pack_bits=bits,
+            )
+        if res is None:
+            return None                      # odd PNG: two-step fallback
+        ratios, tops, lefts = res
+        metas = []
+        meta_arr = np.zeros((c.line_batch, 4), np.int32)
+        for i, im in enumerate(chunk):
+            h, w = im.shape[:2]
+            r = float(ratios[i])
+            new_h, new_w = int(round(h * r)), int(round(w * r))
+            metas.append(
+                dict(h=h, w=w, r=r, top=int(tops[i]), left=int(lefts[i]),
+                     new_h=new_h, new_w=new_w)
+            )
+            meta_arr[i] = (int(tops[i]), int(lefts[i]), new_h, new_w)
+        if self.classifier_mode:
+            protos = jnp.zeros((1, 1), jnp.float32)
+            row_mask = jnp.ones((1,), bool)
+        else:
+            protos = self.index.device_embeddings
+            row_mask = self.index.device_mask
+        fn = self._ocr_chunk_packed if bits in (2, 4) else self._ocr_chunk
+        with self.timer.stage("prep/h2d+dispatch"):
+            fused_out = fn(jnp.asarray(buf), jnp.asarray(meta_arr), protos,
+                           row_mask)
+            try:
+                fused_out.copy_to_host_async()
+            except AttributeError:
+                pass
+        return dict(chunk=chunk, chunk_keys=chunk_keys, metas=metas,
+                    fused_out=fused_out)
 
     def _dispatch_gray_native(self, chunk, chunk_keys, size_h, size_w):
         """Fused native host prep for the grayscale canvas path: one

@@ -198,3 +198,51 @@ def test_lazy_image_native_decode(tmp_path, rng):
     np.testing.assert_array_equal(out[0], rgb)
     assert out[0] is out[1]
     np.testing.assert_array_equal(out[2], rgb)
+
+
+def test_decode_letterbox_gray_fused_bit_exact(tmp_path):
+    """Fused decode+letterbox+pack == decode_png_batch then
+    letterbox_gray_batch, per pack width, gray and RGB sources."""
+    from PIL import Image
+
+    rng = np.random.default_rng(17)
+    paths, shapes = [], []
+    for i in range(6):
+        h, w = int(rng.integers(40, 90)), int(rng.integers(200, 600))
+        if i % 2:
+            arr = rng.integers(0, 256, (h, w), np.uint8).astype(np.uint8)
+            Image.fromarray(arr, "L").save(tmp_path / f"{i}.png")
+        else:
+            arr = rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8)
+            Image.fromarray(arr, "RGB").save(tmp_path / f"{i}.png")
+        paths.append(str(tmp_path / f"{i}.png"))
+        shapes.append((h, w))
+
+    size_w, size_h = 512, 64
+    for bits in (8, 4, 2):
+        w_out = size_w * bits // 8
+        pad = {2: 0x55, 4: 0x77, 8: 114}[bits]
+        buf = np.full((8, size_h, w_out, 1), pad, np.uint8)
+        res = native.decode_letterbox_gray_batch(
+            paths, shapes, size_w, buf, out_h=size_h, pack_bits=bits)
+        assert res is not None
+        ratios, tops, lefts = res
+
+        # two-step reference
+        arrs, status = native.decode_png_batch(
+            paths, [(h, w, 1) for h, w in shapes])
+        assert (status == 0).all()
+        out2, r2, t2, l2 = native.letterbox_gray_batch(
+            arrs, size_w, out_h=size_h, pack_bits=bits)
+        np.testing.assert_array_equal(buf[:6, :, :, 0], out2)
+        np.testing.assert_array_equal(ratios, r2)
+        np.testing.assert_array_equal(tops, t2)
+        np.testing.assert_array_equal(lefts, l2)
+
+    # a corrupt file makes the whole batch return None (caller fallback)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\n nonsense")
+    buf = np.full((8, size_h, size_w, 1), 114, np.uint8)
+    assert native.decode_letterbox_gray_batch(
+        paths + [str(bad)], shapes + [(32, 32)], size_w, buf,
+        out_h=size_h, pack_bits=8) is None
