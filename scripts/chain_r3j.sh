@@ -58,11 +58,12 @@ fi
 if [ ! -e /root/drive2/sweep_r3/nms_pallas_microbench.log ]; then
   log "pallas-vs-xla NMS microbench (trained geometry)"
   cd "$REPO"
+  mkdir -p /root/drive2/sweep_r3   # ADVICE r3: standalone runs predate it
   timeout 1800 python scripts/nms_microbench.py --canvas_w 1024 \
     --encoder mobilenetv3_small_050 --imsize 128 --crops_per_line 33 \
     > /root/drive2/sweep_r3/nms_pallas_microbench.log 2>&1 || \
     log "microbench FAILED"
-  tail -20 /root/drive2/sweep_r3/nms_pallas_microbench.log
+  tail -20 /root/drive2/sweep_r3/nms_pallas_microbench.log || true
 fi
 
 bash "$REPO/scripts/sweep_r3b_isolation.sh" || log "sweep_r3b exited nonzero"
