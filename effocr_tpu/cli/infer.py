@@ -203,6 +203,7 @@ def load_engine(args) -> EffOCRInference:
         retrieval_kernel=args.retrieval_kernel,
         nms_kernel=args.nms_kernel,
         transfer_bits=args.transfer_bits,
+        out_quant=args.out_quant,
         line_batch=args.line_batch,
         crop_batch=args.crop_batch,
         encoder_sub_batch=args.encoder_sub_batch,
@@ -341,6 +342,12 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="4 = nibble-packed host->device upload (fused "
                         "canvas path), halves link bytes; 2 = four "
                         "pixels/byte (4 gray levels), quarters them")
+    p.add_argument("--out_quant", type=str, default="i32",
+                   choices=["i32", "u16"],
+                   help="device->host result packing: u16 ships boxes as "
+                        "1/16-px fixed point + uint16 counts/indices, "
+                        "halving the d2h pull (a measured wall behind a "
+                        "remote-chip relay); i32 is bit-exact")
     p.add_argument("--retrieval_kernel", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="pallas = tiled top-1 kernel for very large "

@@ -135,6 +135,18 @@ class PipelineConfig:
     # cost measured, BENCH_ACCURACY.md) — only for deployments that accept
     # it.  Fused canvas path only.
     transfer_bits: int = 8
+    # Device->host packing of the fused path's single result buffer
+    # (n_chars | nn_idx | char boxes | word boxes | word validity).
+    # "i32": every field rides as int32 (box floats bitcast — exact).
+    # "u16": halves the device->host bytes — the d2h pull is a measured
+    # wall behind a remote-chip relay.  Boxes are quantized to 1/16 px
+    # fixed point (canvases up to 4096 px); counts/indices ride as uint16
+    # (needs prototype count and crop caps < 65536 — engine-asserted).
+    # The 1/16 px only perturbs host-side word-distance / case-repair
+    # thresholds, never the on-device crops, and decodes text-identically
+    # on the e2e corpora (tests/test_pipeline_e2e.py); "i32" stays the
+    # default for bit-exactness.
+    out_quant: str = "i32"
     bucket_hw: Tuple[int, int] = (64, 1024)
     # Adaptive canvas height: per line-chunk, shrink the letterbox canvas
     # height to the smallest stride-32 tier that holds every line's

@@ -25,8 +25,11 @@ _tried = False
 def _build() -> Optional[str]:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
-    base = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-            "-fPIC", "-pthread", _SRC, "-o", _LIB]
+    # -ffp-contract=off: the resize keeps explicit mul+add float math so
+    # the AVX2 lanes and their scalar tails round identically (an FMA
+    # contraction in one but not the other would split them by 1 ulp)
+    base = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+            "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", _LIB]
     # libdeflate inflates ~2x faster than zlib for the PNG decoder; fall
     # back to zlib (always present) when it is not installed
     for extra in (["-DUSE_LIBDEFLATE", "-ldeflate"], ["-lz"]):

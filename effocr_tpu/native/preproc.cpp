@@ -27,6 +27,10 @@
 #include <zlib.h>
 #endif
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 inline void resize_bilinear_u8(const uint8_t* src, int sh, int sw,
@@ -56,6 +60,43 @@ inline void resize_bilinear_u8(const uint8_t* src, int sh, int sw,
   auto interp_row = [&](int ysrc, std::vector<float>& out_row) {
     const uint8_t* r = src + static_cast<size_t>(ysrc) * sw * channels;
     float* o = out_row.data();
+#if defined(__AVX2__)
+    if (channels == 1) {
+      // 8-lane x-interp: 32-bit byte gathers (&0xFF) + the same
+      // mul/add expression as the scalar tail — the library builds with
+      // -ffp-contract=off, so lanes and tail round identically.  Gathers
+      // read 4 bytes at r + x; stay in-bounds by capping at the last x
+      // whose x1 <= sw-4 (x1s is nondecreasing), scalar for the rest.
+      int x = 0;
+      int safe = dw;
+      while (safe > 0 && x1s[safe - 1] > sw - 4) --safe;
+      const __m256i bytemask = _mm256_set1_epi32(0xFF);
+      for (; x + 8 <= safe; x += 8) {
+        const __m256i vx0 =
+            _mm256_loadu_si256(reinterpret_cast<const __m256i*>(&x0s[x]));
+        const __m256i vx1 =
+            _mm256_loadu_si256(reinterpret_cast<const __m256i*>(&x1s[x]));
+        const __m256i g0 = _mm256_i32gather_epi32(
+            reinterpret_cast<const int*>(r), vx0, 1);
+        const __m256i g1 = _mm256_i32gather_epi32(
+            reinterpret_cast<const int*>(r), vx1, 1);
+        const __m256 p0 =
+            _mm256_cvtepi32_ps(_mm256_and_si256(g0, bytemask));
+        const __m256 p1 =
+            _mm256_cvtepi32_ps(_mm256_and_si256(g1, bytemask));
+        const __m256 wx = _mm256_loadu_ps(&wxs[x]);
+        _mm256_storeu_ps(
+            &o[x],
+            _mm256_add_ps(p0, _mm256_mul_ps(_mm256_sub_ps(p1, p0), wx)));
+      }
+      for (; x < dw; ++x) {
+        const float p0 = r[x0s[x]];
+        const float p1 = r[x1s[x]];
+        o[x] = p0 + (p1 - p0) * wxs[x];
+      }
+      return;
+    }
+#endif
     for (int x = 0; x < dw; ++x) {
       const uint8_t* p0 = r + x0s[x] * channels;
       const uint8_t* p1 = r + x1s[x] * channels;
@@ -90,7 +131,27 @@ inline void resize_bilinear_u8(const uint8_t* src, int sh, int sw,
     const float* ta = rowA.data();
     const float* ba = bot->data();
     uint8_t* out = dst + static_cast<size_t>(y) * dw * channels;
-    for (size_t j = 0; j < rw; ++j) {
+    size_t j = 0;
+#if defined(__AVX2__)
+    // 8-lane vertical blend + float->u8 (cvtt truncates like the u8
+    // cast; packus saturation is a no-op for values in [0, 255.5))
+    const __m256 vwy = _mm256_set1_ps(wy);
+    const __m256 vhalf = _mm256_set1_ps(0.5f);
+    for (; j + 8 <= rw; j += 8) {
+      const __m256 top = _mm256_loadu_ps(&ta[j]);
+      const __m256 botv = _mm256_loadu_ps(&ba[j]);
+      const __m256 v = _mm256_add_ps(
+          _mm256_add_ps(top,
+                        _mm256_mul_ps(_mm256_sub_ps(botv, top), vwy)),
+          vhalf);
+      const __m256i vi = _mm256_cvttps_epi32(v);
+      const __m128i p16 = _mm_packus_epi32(
+          _mm256_castsi256_si128(vi), _mm256_extracti128_si256(vi, 1));
+      const __m128i p8 = _mm_packus_epi16(p16, p16);
+      _mm_storel_epi64(reinterpret_cast<__m128i*>(&out[j]), p8);
+    }
+#endif
+    for (; j < rw; ++j) {
       const float top = ta[j];
       out[j] = static_cast<uint8_t>(top + (ba[j] - top) * wy + 0.5f);
     }
@@ -401,28 +462,37 @@ inline void letterbox_gray_one(const uint8_t* gray_src, int h, int w,
       // and thresholds sit at ~42.7/128/213.3 via (q*3 + 128) >> 8) —
       // matching kernels/image_ops.py dither_offsets/quantize_2bit
       // bit-for-bit.  Offsets are round(((M+0.5)/16 - 0.5) * 85).
-      static const int kBayer[4][4] = {
-          {0, 8, 2, 10}, {12, 4, 14, 6}, {3, 11, 1, 9}, {15, 7, 13, 5}};
-      static int kOff[4][4];
-      static const bool init_off = [] {
-        for (int y = 0; y < 4; ++y)
-          for (int x = 0; x < 4; ++x)
-            kOff[y][x] = static_cast<int>(
-                std::lround(((kBayer[y][x] + 0.5) / 16.0 - 0.5) * 85.0));
+      // Each packed byte covers 4 pixels whose x phases are 0..3, so the
+      // whole dither+quantize collapses to 16 value->level LUTs (256 B
+      // each, dither row phase x column phase, pre-shifted into bit
+      // position) — no div/mod/clamp per byte, and the y-phase LUT row
+      // is hoisted per scanline.
+      static uint8_t kLut[4][4][256];  // [y&3][t][v] -> level << (6-2t)
+      static const bool init_lut = [] {
+        static const int kBayer[4][4] = {
+            {0, 8, 2, 10}, {12, 4, 14, 6}, {3, 11, 1, 9}, {15, 7, 13, 5}};
+        for (int y = 0; y < 4; ++y) {
+          for (int t = 0; t < 4; ++t) {
+            const int off = static_cast<int>(
+                std::lround(((kBayer[y][t] + 0.5) / 16.0 - 0.5) * 85.0));
+            for (int v = 0; v < 256; ++v) {
+              const int q = std::max(0, std::min(255, v + off));
+              kLut[y][t][v] =
+                  static_cast<uint8_t>(((q * 3 + 128) >> 8) << (6 - 2 * t));
+            }
+          }
+        }
         return true;
       }();
-      (void)init_off;
+      (void)init_lut;
       const uint8_t* src = line.data();
-      for (size_t j = 0; j < plane; ++j, src += 4) {
-        const int y = static_cast<int>(j / packed_w) & 3;
-        const int x0 = static_cast<int>(j % packed_w) * 4;
-        uint8_t lv[4];
-        for (int t = 0; t < 4; ++t) {
-          const int q = std::max(0, std::min(255, src[t] + kOff[y][(x0 + t) & 3]));
-          lv[t] = static_cast<uint8_t>((q * 3 + 128) >> 8);
+      uint8_t* d = dst;
+      for (int y = 0; y < out_h; ++y) {
+        const uint8_t(*lut)[256] = kLut[y & 3];
+        for (int xb = 0; xb < packed_w; ++xb, src += 4) {
+          *d++ = static_cast<uint8_t>(lut[0][src[0]] | lut[1][src[1]] |
+                                      lut[2][src[2]] | lut[3][src[3]]);
         }
-        dst[j] = static_cast<uint8_t>((lv[0] << 6) | (lv[1] << 4) |
-                                      (lv[2] << 2) | lv[3]);
       }
     } else {
       std::memcpy(dst, line.data(), plane);

@@ -43,8 +43,10 @@ from effocr_tpu.kernels.retrieval import knn_topk, l2_normalize
 from effocr_tpu.kernels.roi import crop_lines_to_squares
 from effocr_tpu.kernels.yolo_decode import decode_and_nms
 from effocr_tpu.pipelines.lang import (
+    batch_word_ends,
     en_postprocess,
     en_preprocess,
+    insert_spaces,
     jp_preprocess,
     word_end_indices,
 )
@@ -288,6 +290,16 @@ class EffOCRInference:
         self._char_lookup = np.array(
             [c[0] if c else "" for c in raw], dtype=object)
         c = config
+        if c.out_quant == "u16":
+            # uint16 result packing bounds (config.py out_quant)
+            assert len(self._char_lookup) < (1 << 16), (
+                f"out_quant='u16' needs < 65536 prototype rows, got "
+                f"{len(self._char_lookup)}")
+            assert c.localizer.input_size <= 4096, (
+                "out_quant='u16' boxes are 1/16-px fixed point: canvas "
+                f"must be <= 4096 px, got {c.localizer.input_size}")
+        else:
+            assert c.out_quant == "i32", c.out_quant
 
         @jax.jit
         def _detect(images_u8):
@@ -433,18 +445,13 @@ class EffOCRInference:
                 )
             nn_idx, _ = _classify(emb, protos, row_mask)
 
-            # Pack every output into ONE int32 vector (floats ride as
-            # bitcast i32, exact): each device_get is a full round trip
-            # on the high-latency relay (~25 ms measured per array), so
-            # six separate outputs cost far more in latency than their
-            # bytes.  _finish_fused slices the buffer back apart.
-            parts = [
-                n_chars.astype(jnp.int32),
-                nn_idx[:, 0].astype(jnp.int32),
-                jax.lax.bitcast_convert_type(
-                    flat_boxes, jnp.int32
-                ).reshape(-1),
-            ]
+            # Pack every output into ONE vector: each device_get is a full
+            # round trip on the high-latency relay (~25 ms measured per
+            # array), so six separate outputs cost far more in latency
+            # than their bytes.  _finish_fused slices the buffer back
+            # apart.  out_quant "i32" ships floats bitcast (exact);
+            # "u16" ships 1/16-px fixed point at half the bytes
+            # (config.py out_quant).
             if c.lang == "en":
                 # per-line word boxes, reading-order sorted (en only —
                 # jp has no word grouping, so don't compute or ship them)
@@ -459,12 +466,37 @@ class EffOCRInference:
                 word_valid = (
                     jnp.take_along_axis(word_key, worder, axis=1) < jnp.inf
                 )
-                parts.append(
+            else:
+                word_boxes = word_valid = None
+            if c.out_quant == "u16":
+                def q16(x):
+                    return jnp.clip(
+                        jnp.round(x * 16.0), 0, 65535
+                    ).astype(jnp.uint16)
+
+                parts = [
+                    n_chars.astype(jnp.uint16),
+                    nn_idx[:, 0].astype(jnp.uint16),
+                    q16(flat_boxes).reshape(-1),
+                ]
+                if word_boxes is not None:
+                    parts.append(q16(word_boxes).reshape(-1))
+                    parts.append(word_valid.reshape(-1).astype(jnp.uint16))
+            else:
+                parts = [
+                    n_chars.astype(jnp.int32),
+                    nn_idx[:, 0].astype(jnp.int32),
                     jax.lax.bitcast_convert_type(
-                        word_boxes, jnp.int32
-                    ).reshape(-1)
-                )
-                parts.append(word_valid.reshape(-1).astype(jnp.int32))
+                        flat_boxes, jnp.int32
+                    ).reshape(-1),
+                ]
+                if word_boxes is not None:
+                    parts.append(
+                        jax.lax.bitcast_convert_type(
+                            word_boxes, jnp.int32
+                        ).reshape(-1)
+                    )
+                    parts.append(word_valid.reshape(-1).astype(jnp.int32))
             return jnp.concatenate(parts)
 
         def _shard_fused(body, n_data_args):
@@ -1301,20 +1333,25 @@ class EffOCRInference:
         # keys (crop_cap = crop_batch / n_shards), so the device ships
         # min(·) rows, not always crop_cap.
         cap = min(self._crop_cap, nb * c.localizer.max_det)
+        u16 = buf.dtype == np.uint16
+
+        def _unpack_boxes(seg, *shape):
+            if u16:  # 1/16-px fixed point (out_quant "u16")
+                return seg.astype(np.float32).reshape(*shape) * 0.0625
+            return seg.view(np.float32).reshape(*shape)
+
         o = 0
-        n_chars = buf[o : o + nb].copy()
+        n_chars = buf[o : o + nb].astype(np.int64)
         o += nb
         nn_idx = buf[o : o + cap]
         o += cap
-        flat_boxes = buf[o : o + 4 * cap].view(np.float32).reshape(cap, 4)
+        flat_boxes = _unpack_boxes(buf[o : o + 4 * cap], cap, 4)
         o += 4 * cap
         if c.lang == "en":
             # the device-side [:, :max_words_per_line] slice caps at the
             # NMS max_det column count
             w = min(c.max_words_per_line, c.localizer.max_det)
-            word_boxes = (
-                buf[o : o + nb * w * 4].view(np.float32).reshape(nb, w, 4)
-            )
+            word_boxes = _unpack_boxes(buf[o : o + nb * w * 4], nb, w, 4)
             o += nb * w * 4
             word_valid = buf[o : o + nb * w].astype(bool).reshape(nb, w)
             o += nb * w
@@ -1348,6 +1385,15 @@ class EffOCRInference:
         lookup = self._char_lookup
 
         from effocr_tpu.pipelines.tiling import TileKey
+
+        if c.lang == "en" and n:
+            # one vectorized word-end pass for the whole segment (the
+            # per-line word_end_indices calls dominated this thread)
+            wend = batch_word_ends(
+                flat_boxes[:, 2], n_chars[:n], word_boxes[:n, :, 0],
+                word_valid[:n],
+            )
+            n_words = word_valid[:n].sum(axis=1)
 
         pos = 0
         for i in range(n):
@@ -1398,16 +1444,18 @@ class EffOCRInference:
             text = "".join(chars_i.tolist()).strip() if k else ""
 
             if c.lang == "en" and k:
-                wv = word_valid[i]
-                word_end_idx = word_end_indices(
-                    boxes_i, word_boxes[i][wv], vertical=c.vertical
-                )
-                out = en_postprocess(
-                    text, word_end_idx,
-                    boxes_i[:, 3] - boxes_i[:, 1], boxes_i[:, 3],
-                    anchor_margin=c.anchor_margin,
-                    anchor_multiplier=c.anchor_multiplier,
-                )
+                word_end_idx = wend[i, : int(n_words[i])]
+                if c.anchor_margin is None:
+                    # anchor-free fast path: pure string slicing, no
+                    # per-char interleave (lang.insert_spaces)
+                    out = insert_spaces(text, word_end_idx)
+                else:
+                    out = en_postprocess(
+                        text, word_end_idx.tolist(),
+                        boxes_i[:, 3] - boxes_i[:, 1], boxes_i[:, 3],
+                        anchor_margin=c.anchor_margin,
+                        anchor_multiplier=c.anchor_multiplier,
+                    )
             else:
                 out = text
             if c.spell_check and out:

@@ -96,6 +96,63 @@ def word_end_indices(
     return out
 
 
+def batch_word_ends(flat_rights, n_chars, word_lefts, word_valid):
+    """``word_end_indices`` for a whole line-segment in one vectorized
+    pass (the per-line calls were ~40% of the consumer thread at
+    line_batch 512).
+
+    flat_rights: [>= sum(n_chars)] char right edges, line-major reading
+    order (the fused device output).  n_chars: [n] chars per line.
+    word_lefts: [n, w] word left edges, reading-order sorted with the
+    invalid slots LAST (the device word_key sort).  word_valid: [n, w]
+    prefix mask.  Returns [n, w] int32: per valid word slot, the
+    word-end char index with the exact en_preprocess carry semantics
+    (a word with no char right-edge beyond its left edge inherits the
+    previous word's index; initial carry 0).  Entries beyond the valid
+    prefix are meaningless.  Golden-tested against word_end_indices in
+    tests/test_lang.py.
+    """
+    import numpy as np
+
+    n, w = word_lefts.shape
+    n_chars = np.asarray(n_chars[:n], np.int64)
+    total = int(n_chars.sum())
+    if n == 0 or w == 0 or total == 0:
+        return np.zeros((n, w), np.int32)
+    kmax = int(n_chars.max())
+    offsets = np.concatenate([[0], np.cumsum(n_chars)])
+    rows = np.repeat(np.arange(n), n_chars)
+    cols = np.arange(total) - np.repeat(offsets[:-1], n_chars)
+    rights = np.full((n, kmax), -np.inf, np.float32)
+    rights[rows, cols] = np.asarray(flat_rights[:total], np.float32)
+
+    wl = np.where(word_valid, word_lefts, np.inf).astype(np.float32)
+    qual = rights[:, None, :] > wl[:, :, None]            # [n, w, kmax]
+    dist = np.where(qual, np.abs(wl[:, :, None] - rights[:, None, :]),
+                    np.inf)
+    best = dist.argmin(axis=2).astype(np.int32)           # [n, w]
+    has = qual.any(axis=2)
+    # carry: each word takes the best of the most recent word that HAS a
+    # qualifying char (else the line-initial 0)
+    slot = np.where(has, np.arange(w, dtype=np.int32)[None, :], -1)
+    last = np.maximum.accumulate(slot, axis=1)            # [n, w]
+    fill = np.take_along_axis(best, np.maximum(last, 0), axis=1)
+    return np.where(last >= 0, fill, 0).astype(np.int32)
+
+
+def insert_spaces(text: str, word_end_idx) -> Optional[str]:
+    """The anchor-free en_postprocess fast path: insert a space before
+    each word-end char index, strip, with the same empty-input contract
+    (empty text or no word boxes -> None).  Equivalent to
+    en_postprocess(text, word_end_idx, ..., anchor_margin=None) without
+    the per-char interleave loop (tests/test_lang.py asserts parity)."""
+    if len(text) == 0 or len(word_end_idx) == 0:
+        return None
+    cuts = sorted(set(int(i) for i in word_end_idx))
+    pieces = [text[a:b] for a, b in zip([0] + cuts, cuts + [None])]
+    return " ".join(pieces).strip()
+
+
 def _flatten(items):
     for item in items:
         if isinstance(item, (tuple, list)):

@@ -107,3 +107,72 @@ def test_word_end_indices_matches_en_preprocess():
         # vertical too
         _, want_v = en_preprocess(cb.tolist(), wb.tolist(), vertical=True)
         assert word_end_indices(cb, wb, vertical=True) == want_v
+
+
+def test_batch_word_ends_matches_word_end_indices():
+    """Segment-batched word ends == per-line word_end_indices on ragged
+    random lines (device layout: reading-order sorted, valid-prefix word
+    slots)."""
+    import numpy as np
+
+    from effocr_tpu.pipelines.lang import batch_word_ends, word_end_indices
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 9))
+        w = int(rng.integers(1, 8))
+        n_chars = rng.integers(0, 30, n)
+        lines_cb = []
+        flat_rights = []
+        word_lefts = np.zeros((n, w), np.float32)
+        word_valid = np.zeros((n, w), bool)
+        per_line_wb = []
+        for i in range(n):
+            k = int(n_chars[i])
+            x0 = np.sort(rng.uniform(0, 600, k)).astype(np.float32)
+            cb = np.stack(
+                [x0, np.full(k, 5, np.float32),
+                 x0 + rng.uniform(2, 20, k).astype(np.float32),
+                 np.full(k, 30, np.float32)], axis=1,
+            ) if k else np.zeros((0, 4), np.float32)
+            lines_cb.append(cb)
+            flat_rights.extend(cb[:, 2].tolist())
+            nw = int(rng.integers(0, w + 1))
+            wx0 = np.sort(rng.uniform(-20, 640, nw)).astype(np.float32)
+            wb = np.stack(
+                [wx0, np.full(nw, 5, np.float32), wx0 + 40,
+                 np.full(nw, 30, np.float32)], axis=1,
+            ) if nw else np.zeros((0, 4), np.float32)
+            per_line_wb.append(wb)
+            word_lefts[i, :nw] = wx0
+            word_valid[i, :nw] = True
+        got = batch_word_ends(
+            np.asarray(flat_rights, np.float32), n_chars, word_lefts,
+            word_valid,
+        )
+        for i in range(n):
+            nw = int(word_valid[i].sum())
+            if n_chars[i] == 0 or nw == 0:
+                continue
+            want = word_end_indices(lines_cb[i], per_line_wb[i])
+            assert got[i, :nw].tolist() == want, (trial, i)
+
+
+def test_insert_spaces_matches_en_postprocess():
+    import numpy as np
+
+    from effocr_tpu.pipelines.lang import en_postprocess, insert_spaces
+
+    rng = np.random.default_rng(12)
+    for _ in range(40):
+        k = int(rng.integers(0, 30))
+        text = "".join(
+            rng.choice(list("abcXYZ-.,123"), k)
+        )
+        n_w = int(rng.integers(0, 8))
+        wei = rng.integers(0, max(k, 1), n_w).tolist()
+        want = en_postprocess(
+            text, wei, [10.0] * k, [20.0] * k, anchor_margin=None
+        )
+        got = insert_spaces(text, wei)
+        assert got == want, (text, wei, got, want)

@@ -860,3 +860,48 @@ def test_pipeline_max_words_cap(engine_parts):
     assert capped.replace(" ", "") == text.replace(" ", "")
     # the kept spaces are the leading ones (reading-order slice)
     assert capped.split(" ")[0] == text.split(" ")[0]
+
+
+def test_pipeline_out_quant_u16_matches_i32(engine_parts):
+    """out_quant='u16' (1/16-px fixed-point d2h packing, half the bytes)
+    decodes the same text as the exact i32 buffer, including word spacing
+    and multi-chunk runs."""
+    encoder, enc_vars, index = engine_parts
+    texts = ["AbX oT", "kXo bA"]
+    lines = [make_line(t) for t in texts]
+    imgs = [l[0] for l in lines]
+    lb_c = [
+        to_letterbox_space(l[1], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    lb_w = [
+        to_letterbox_space(l[2], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    decoded = make_decoded_predictions(lb_c, lb_w, [None] * len(lines))
+
+    def run(out_quant):
+        cfg = PipelineConfig(
+            lang="en",
+            localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                      max_det=64, max_nms=64),
+            encoder=EncoderConfig(arch="tiny"),
+            line_batch=2,
+            crop_batch=32,
+            out_quant=out_quant,
+        )
+        engine = EffOCRInference(
+            cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+        )
+        return engine.run(imgs, return_coco=True)
+
+    res_exact, coco_exact = run("i32")
+    res_q, coco_q = run("u16")
+    for i, t in enumerate(texts):
+        assert res_exact[i] == t, (res_exact[i], t)
+        assert res_q[i] == t, (res_q[i], t)
+    # COCO boxes agree to the fixed-point step (1/16 canvas px -> <= 1 px
+    # after inverse letterbox on these small test lines)
+    for a, b in zip(coco_exact["annotations"], coco_q["annotations"]):
+        assert a["text"] == b["text"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1.0)
