@@ -204,6 +204,7 @@ def load_engine(args) -> EffOCRInference:
         nms_kernel=args.nms_kernel,
         transfer_bits=args.transfer_bits,
         out_quant=args.out_quant,
+        compute_dtype=args.compute_dtype,
         line_batch=args.line_batch,
         crop_batch=args.crop_batch,
         encoder_sub_batch=args.encoder_sub_batch,
@@ -342,6 +343,11 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="4 = nibble-packed host->device upload (fused "
                         "canvas path), halves link bytes; 2 = four "
                         "pixels/byte (4 gray levels), quarters them")
+    p.add_argument("--compute_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="bf16 runs the detector+encoder convs at the MXU "
+                        "bf16 rate (~2x); decode/NMS/retrieval stay f32. "
+                        "Numeric change — A/B CER before adopting")
     p.add_argument("--out_quant", type=str, default="i32",
                    choices=["i32", "u16"],
                    help="device->host result packing: u16 ships boxes as "

@@ -147,6 +147,15 @@ class PipelineConfig:
     # on the e2e corpora (tests/test_pipeline_e2e.py); "i32" stays the
     # default for bit-exactness.
     out_quant: str = "i32"
+    # Forward-pass dtype for the localizer + encoder inside the fused
+    # programs.  "bf16" casts the float32 params and the canvas to
+    # bfloat16 so the convs hit the MXU at its bf16 rate (~2x f32);
+    # box decode/NMS and the retrieval matmul stay f32 (embeddings are
+    # upcast before normalization), so thresholds and top-1 margins are
+    # unquantized.  Glyph top-1 retrieval is margin-robust, but bf16 is
+    # a numeric change — A/B CER on the trained corpus before pinning
+    # (BENCH_ACCURACY.md).  "f32" is exact and the default.
+    compute_dtype: str = "f32"
     bucket_hw: Tuple[int, int] = (64, 1024)
     # Adaptive canvas height: per line-chunk, shrink the letterbox canvas
     # height to the smallest stride-32 tier that holds every line's

@@ -273,6 +273,22 @@ class EffOCRInference:
         self.localizer_vars = localizer_vars
         self.encoder = encoder
         self.encoder_vars = encoder_vars
+        if config.compute_dtype == "bf16":
+            # cast float params (incl. BN stats) to bfloat16 so the convs
+            # run at the MXU bf16 rate; decode/NMS/retrieval stay f32
+            # (config.py compute_dtype)
+            def _bf16(tree):
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x,
+                    tree,
+                )
+
+            self.localizer_vars = _bf16(self.localizer_vars)
+            self.encoder_vars = _bf16(self.encoder_vars)
+        else:
+            assert config.compute_dtype == "f32", config.compute_dtype
         self.index = index
         self.class_map = class_map
         self.classifier_mode = class_map is not None
@@ -301,12 +317,17 @@ class EffOCRInference:
         else:
             assert c.out_quant == "i32", c.out_quant
 
+        def _cast_in(x):
+            return (x.astype(jnp.bfloat16) if c.compute_dtype == "bf16"
+                    else x)
+
         @jax.jit
         def _detect(images_u8):
             imgs = images_u8.astype(jnp.float32) / 255.0
             (decoded, _raw) = self.localizer.apply(
-                self.localizer_vars, imgs, train=False
+                self.localizer_vars, _cast_in(imgs), train=False
             )
+            decoded = decoded.astype(jnp.float32)
             boxes, scores, classes, valid = decode_and_nms(
                 decoded,
                 conf_thresh=c.localizer.conf_thresh,
@@ -321,6 +342,7 @@ class EffOCRInference:
             return imgs, boxes, scores, classes, valid
 
         def _classify(emb, protos, row_mask):
+            emb = emb.astype(jnp.float32)   # exact retrieval margins
             if self.classifier_mode:
                 # emb is logits; top-1 class (infer_effocr.py:325-333)
                 idx = jnp.argmax(emb, axis=-1)[:, None]
@@ -342,12 +364,16 @@ class EffOCRInference:
                 images_f32, rects, img_idx, valid,
                 out_size=c.encoder.image_size, window=window,
             )
-            emb = self.encoder.apply(self.encoder_vars, crops, train=False)
+            emb = self.encoder.apply(
+                self.encoder_vars, _cast_in(crops), train=False
+            )
             return _classify(emb, protos, row_mask)
 
         @jax.jit
         def _recognize_direct(crops, protos, row_mask):
-            emb = self.encoder.apply(self.encoder_vars, crops, train=False)
+            emb = self.encoder.apply(
+                self.encoder_vars, _cast_in(crops), train=False
+            )
             return _classify(emb, protos, row_mask)
 
         def _ocr_from_canvas(imgs, content_meta, protos, row_mask):
@@ -362,9 +388,11 @@ class EffOCRInference:
 
             content_meta [B, 4] int32: (top, left, new_h, new_w).
             """
+            imgs = _cast_in(imgs)      # bf16 convs under compute_dtype
             (decoded, _raw) = self.localizer.apply(
                 self.localizer_vars, imgs, train=False
             )
+            decoded = decoded.astype(jnp.float32)
             boxes, scores, classes, valid = decode_and_nms(
                 decoded,
                 conf_thresh=c.localizer.conf_thresh,
@@ -437,11 +465,11 @@ class EffOCRInference:
             else:
                 rects = jnp.stack([rx0, top, rx1, top + nh], axis=1)
 
-            crops = crop_lines_to_squares(
+            crops = _cast_in(crop_lines_to_squares(
                 imgs, rects, flat_b, flat_valid,
                 out_size=c.encoder.image_size,
                 window=min(c.localizer.input_size, c.crop_window),
-            )
+            ))  # the ROI kernel computes in f32; re-cast for bf16 convs
             sub = c.encoder_sub_batch
             n_slots = crops.shape[0]  # min(crop_batch, B*max_det)
             if sub and n_slots > sub:

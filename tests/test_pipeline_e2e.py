@@ -905,3 +905,35 @@ def test_pipeline_out_quant_u16_matches_i32(engine_parts):
     for a, b in zip(coco_exact["annotations"], coco_q["annotations"]):
         assert a["text"] == b["text"]
         np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1.0)
+
+
+def test_pipeline_bf16_compute(engine_parts):
+    """compute_dtype='bf16' (detector+encoder convs at the MXU bf16 rate)
+    decodes the same text on the synthetic corpus — retrieval margins are
+    wide, and decode/NMS/retrieval stay f32."""
+    encoder, enc_vars, index = engine_parts
+    texts = ["AbX oT", "kXo bA"]
+    lines = [make_line(t) for t in texts]
+    imgs = [l[0] for l in lines]
+    lb_c = [
+        to_letterbox_space(l[1], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    lb_w = [
+        to_letterbox_space(l[2], im.shape[0], im.shape[1])
+        for l, im in zip(lines, imgs)
+    ]
+    decoded = make_decoded_predictions(lb_c, lb_w, [None] * len(lines))
+    cfg = PipelineConfig(
+        lang="en",
+        localizer=LocalizerConfig(conf_thresh=0.35, iou_thresh=0.1,
+                                  max_det=64, max_nms=64),
+        encoder=EncoderConfig(arch="tiny"),
+        line_batch=2, crop_batch=32, compute_dtype="bf16",
+    )
+    engine = EffOCRInference(
+        cfg, StubLocalizer(decoded), {}, encoder, enc_vars, index
+    )
+    results = engine.run(imgs)
+    for i, t in enumerate(texts):
+        assert results[i] == t, (results[i], t)
