@@ -90,7 +90,7 @@ def run_trained(spec):
         norm_edit_distance=False, uncased=False,
     )
     target_per_chip = 5000.0 / 8.0
-    print(json.dumps({
+    out = {
         "metric": "textline_images_per_sec_per_chip",
         "value": round(lines_per_sec, 2),
         "unit": "lines/s/chip",
@@ -101,7 +101,15 @@ def run_trained(spec):
         "cer": cer,
         "textline_accuracy": acc,
         "flags": spec["flags"],
-    }))
+        "pass_samples": [round(s, 1) for s in samples],
+    }
+    if "band" in spec:
+        # the multi-session band this config was pinned under
+        # (scripts/bench_sessions.py; between-session relay variance is
+        # the dominant noise source — this run is ONE more session and
+        # should land inside the band)
+        out["pinned_band"] = spec["band"]
+    print(json.dumps(out))
 
 
 def main():

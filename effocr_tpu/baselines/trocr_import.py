@@ -68,6 +68,150 @@ def _t(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(w).T)
 
 
+# --------------------------------------------------------------- fairseq hop
+def _fairseq_sinusoidal(n: int, dim: int, padding_idx: int = 1) -> np.ndarray:
+    """fairseq SinusoidalPositionalEmbedding.get_embedding, exactly.
+
+    Used to materialize a learned-layout position table from checkpoints
+    trained with sinusoidal decoder positions (trocr-base:
+    use_learned_position_embeddings=False): the sinusoidal values are
+    deterministic, so baking them into the [n, dim] table the rest of the
+    importer expects is mathematically identical.
+    """
+    half = dim // 2
+    emb = math.log(10000) / (half - 1)
+    freq = np.exp(np.arange(half, dtype=np.float64) * -emb)
+    pos = np.arange(n, dtype=np.float64)[:, None] * freq[None, :]
+    out = np.concatenate([np.sin(pos), np.cos(pos)], axis=1)
+    if dim % 2 == 1:
+        out = np.concatenate([out, np.zeros((n, 1))], axis=1)
+    if padding_idx is not None:
+        out[padding_idx] = 0.0
+    return out.astype(np.float32)
+
+
+def fairseq_to_hf_state_dict(
+    sd: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    """Raw fairseq/unilm TrOCR ``ckpt["model"]`` -> HF-layout state dict.
+
+    The renaming hop of the reference's converter
+    (scripts/trocr_fairseq_to_pytorch_chkpt.py:28-87: create_rename_keys +
+    the qkv split + the ``decoder.model.`` prefixing at :455-460), so
+    holders of the paper's original fairseq checkpoints can enter the
+    pipeline without the unilm/fairseq packages.  Differences from the
+    reference, on purpose:
+
+    - encoder position embeddings are KEPT when shape-consistent (the
+      reference deletes them after renaming, silently leaving the HF
+      model's random init — a quirk, not a behavior to reproduce; our
+      spec inference sizes the patch grid from this very tensor);
+    - sinusoidal decoder positions (trocr-base layout) are materialized
+      into the learned-position table (see _fairseq_sinusoidal) instead
+      of being unsupported;
+    - the qkv bias is split alongside the weight when present (deit
+      small uses qkv_bias=True).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out: Dict[str, np.ndarray] = {}
+
+    enc_renames = {
+        "norm1": "layernorm_before",
+        "norm2": "layernorm_after",
+    }
+    for k, v in sd.items():
+        if k in ("decoder.version", "encoder.deit.head.weight",
+                 "encoder.deit.head.bias"):
+            continue
+        if k.endswith("embed_positions._float_tensor"):
+            continue  # sinusoidal marker; table materialized below
+        if k.startswith("encoder.deit.blocks."):
+            parts = k.split(".")
+            i, rest = parts[3], ".".join(parts[4:])
+            base = f"encoder.encoder.layer.{i}"
+            wb = parts[-1]  # weight|bias
+            if rest.startswith("attn.qkv."):
+                h = v.shape[0] // 3
+                for j, name in enumerate(("query", "key", "value")):
+                    out[f"{base}.attention.attention.{name}.{wb}"] = \
+                        v[j * h : (j + 1) * h]
+            elif rest.startswith("attn.proj."):
+                out[f"{base}.attention.output.dense.{wb}"] = v
+            elif parts[4] in enc_renames:
+                out[f"{base}.{enc_renames[parts[4]]}.{wb}"] = v
+            elif rest.startswith("mlp.fc1."):
+                out[f"{base}.intermediate.dense.{wb}"] = v
+            elif rest.startswith("mlp.fc2."):
+                out[f"{base}.output.dense.{wb}"] = v
+            else:
+                out[f"{base}.{rest}"] = v
+        elif k == "encoder.deit.cls_token":
+            out["encoder.embeddings.cls_token"] = v
+        elif k == "encoder.deit.pos_embed":
+            out["encoder.embeddings.position_embeddings"] = v
+        elif k == "encoder.deit.patch_embed.proj.weight":
+            out["encoder.embeddings.patch_embeddings.projection.weight"] = v
+        elif k == "encoder.deit.patch_embed.proj.bias":
+            out["encoder.embeddings.patch_embeddings.projection.bias"] = v
+        elif k == "encoder.deit.norm.weight":
+            out["encoder.layernorm.weight"] = v
+        elif k == "encoder.deit.norm.bias":
+            out["encoder.layernorm.bias"] = v
+        elif k.startswith("decoder.") and "output_projection" not in k:
+            out["decoder.model." + k] = v
+        else:
+            out[k] = v
+
+    if "decoder.model.decoder.embed_positions.weight" not in out:
+        # sinusoidal positions: bake the fairseq table (padding_idx=1,
+        # offset 2 — row p+2 is position p, matching the learned layout)
+        tok = out["decoder.model.decoder.embed_tokens.weight"]
+        dim = tok.shape[1]
+        n = 514  # fairseq default max_target_positions 512 (+2 offset)
+        out["decoder.model.decoder.embed_positions.weight"] = \
+            _fairseq_sinusoidal(n, dim)
+    return out
+
+
+def _looks_like_fairseq(sd: Mapping[str, Any]) -> bool:
+    return any(k.startswith("encoder.deit.") for k in sd)
+
+
+def import_fairseq_checkpoint(pt_path: str):
+    """Raw fairseq/unilm TrOCR .pt -> (params, spec).
+
+    Chains the renaming hop into the HF->JAX converter.  The pickle is
+    read with the allowlist unpickler (interop/torch_pickle.py), so the
+    fairseq cfg/args objects inside become inert stubs — no fairseq
+    install or foreign code execution needed.  Flags not recoverable
+    from tensor shapes use the reference's hard-coded config values
+    (trocr_fairseq_to_pytorch_chkpt.py: activation relu,
+    scale_embedding true for both published sizes).
+    """
+    import torch
+
+    from effocr_tpu.interop.torch_pickle import _PickleModule
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False,
+                      pickle_module=_PickleModule)
+    if not isinstance(ckpt, dict) or "model" not in ckpt:
+        raise ValueError(f"{pt_path}: not a fairseq checkpoint "
+                         "(no 'model' key)")
+    sd = {k: np.asarray(v.detach().float().cpu().numpy())
+          for k, v in ckpt["model"].items()
+          if hasattr(v, "detach")}
+    if not _looks_like_fairseq(sd):
+        raise ValueError(
+            f"{pt_path}: no encoder.deit.* keys — already HF-layout? "
+            "use the --model_dir path instead")
+    hf_sd = fairseq_to_hf_state_dict(sd)
+    config = {"decoder": {"activation_function": "relu",
+                          "scale_embedding": True,
+                          "use_learned_position_embeddings": True}}
+    spec = spec_from_state_dict(hf_sd, config)
+    return convert_state_dict(hf_sd, spec), spec
+
+
 def spec_from_state_dict(
     sd: Mapping[str, Any], config: Optional[Mapping[str, Any]] = None
 ) -> TrOCRSpec:
@@ -104,12 +248,14 @@ def spec_from_state_dict(
     return TrOCRSpec(
         enc_hidden=int(enc_hidden),
         enc_layers=enc_layers,
-        enc_heads=int(enc_cfg.get("num_attention_heads", enc_hidden // 64)),
+        enc_heads=int(enc_cfg.get("num_attention_heads",
+                               max(1, enc_hidden // 64))),
         patch=int(patch),
         image_size=int(image_size),
         dec_hidden=int(dec_hidden),
         dec_layers=dec_layers,
-        dec_heads=int(dec_cfg.get("decoder_attention_heads", dec_hidden // 64)),
+        dec_heads=int(dec_cfg.get("decoder_attention_heads",
+                               max(1, dec_hidden // 64))),
         vocab_size=int(vocab_size),
         max_positions=int(dec_pos.shape[0] - 2),
         cross_hidden=int(cross_k.shape[1]),

@@ -43,16 +43,23 @@ def _special_ids(model_dir: str, tok=None):
     return start, eos, pad
 
 
-def convert(model_dir: str, out_path: str, check: bool = False) -> str:
+def convert(model_dir: str, out_path: str, check: bool = False,
+            fairseq_pt: str = None) -> str:
     import numpy as np
 
     from effocr_tpu.baselines.trocr_import import (
+        import_fairseq_checkpoint,
         import_hf_checkpoint,
         save_trocr_npz,
         trocr_forward,
     )
 
-    params, spec = import_hf_checkpoint(model_dir)
+    if fairseq_pt:
+        # raw fairseq/unilm checkpoint: renaming hop first
+        # (trocr_fairseq_to_pytorch_chkpt.py:28-87 role), then HF->JAX
+        params, spec = import_fairseq_checkpoint(fairseq_pt)
+    else:
+        params, spec = import_hf_checkpoint(model_dir)
     save_trocr_npz(out_path, params, spec)
     n_params = sum(int(np.prod(v.shape)) for v in params.values())
     print(f"converted: {spec.enc_layers}L/{spec.enc_hidden}d encoder + "
@@ -263,8 +270,14 @@ def finetune(npz_path: str, model_dir: str, train_coco: str, val_coco: str,
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model_dir", required=True,
+    p.add_argument("--model_dir", default=None,
                    help="HF checkpoint dir (config.json + weights)")
+    p.add_argument("--fairseq_pt", default=None,
+                   help="raw fairseq/unilm TrOCR checkpoint (.pt): apply "
+                        "the renaming hop (the reference's "
+                        "trocr_fairseq_to_pytorch_chkpt.py role) before "
+                        "the HF->JAX conversion; --model_dir is then only "
+                        "needed for tokenizer-based eval/finetune")
     p.add_argument("--out", default=None,
                    help="default: <model_dir>/trocr_tpu.npz")
     p.add_argument("--check", action="store_true", default=False,
@@ -293,11 +306,19 @@ def main():
                         " 1 = greedy")
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args()
-    out = args.out or os.path.join(args.model_dir, "trocr_tpu.npz")
+    if not args.model_dir and not (args.fairseq_pt or args.eval_npz):
+        p.error("--model_dir is required (or --fairseq_pt / --eval_npz)")
+    if args.out:
+        out = args.out
+    elif args.model_dir:
+        out = os.path.join(args.model_dir, "trocr_tpu.npz")
+    else:
+        out = os.path.splitext(args.fairseq_pt)[0] + "_tpu.npz"
     if args.eval_npz:
         eval_npz = args.eval_npz      # evaluate an existing artifact
     else:
-        convert(args.model_dir, out, check=args.check)
+        convert(args.model_dir, out, check=args.check and not args.fairseq_pt,
+                fairseq_pt=args.fairseq_pt)
         eval_npz = out
     if args.train_coco_json:
         if not (args.image_dir and args.val_coco_json):

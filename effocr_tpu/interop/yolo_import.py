@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import pickle
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
@@ -145,15 +146,21 @@ def import_ultralytics_localizer(
                 k.startswith("model.") for k in sd):
             raise ValueError("full checkpoint dict")
         sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
-    except Exception:
-        # full ultralytics pickle (their Model class inside) — extract
-        # the tensors without the ultralytics package via the permissive
-        # unpickler (interop/torch_pickle.py)
+    except (pickle.UnpicklingError, RuntimeError, ValueError) as first_err:
+        # weights_only rejection / "full checkpoint dict" — the file is a
+        # full ultralytics pickle (their Model class inside): extract the
+        # tensors without the ultralytics package via the allowlist
+        # unpickler (interop/torch_pickle.py).  Anything else (corrupt
+        # zip, truncated stream, numpy conversion failure) propagates
+        # with its real error.
         from effocr_tpu.interop.torch_pickle import (
             load_module_pickle_state_dict,
         )
 
-        sd = load_module_pickle_state_dict(pt_path)
+        try:
+            sd = load_module_pickle_state_dict(pt_path)
+        except Exception as second_err:
+            raise second_err from first_err
 
     name = detect_yolov5_variant(sd)
     params, stats, anchors, num_classes = convert_ultralytics_yolov5(sd)

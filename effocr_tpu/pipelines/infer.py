@@ -1425,6 +1425,15 @@ class EffOCRInference:
                 n = first_bad
 
         lookup = self._char_lookup
+        # one vectorized char decode for the whole segment; out-of-range
+        # ids (classifier-mode argmax can range over a logits width
+        # exceeding a sparse class map) mask to "" — never wrap to an
+        # arbitrary wrong char
+        total = int(csum[n - 1]) if n else 0
+        idx_seg = nn_idx[:total]
+        seg_chars = np.where(
+            idx_seg < len(lookup),
+            lookup[np.minimum(idx_seg, len(lookup) - 1)], "")
 
         from effocr_tpu.pipelines.tiling import TileKey
 
@@ -1441,7 +1450,7 @@ class EffOCRInference:
         for i in range(n):
             k = int(n_chars[i])
             boxes_i = flat_boxes[pos : pos + k]
-            chars_i = lookup[nn_idx[pos : pos + k] % len(lookup)]
+            chars_i = seg_chars[pos : pos + k]
             pos += k
 
             if tile_ctx is not None and isinstance(chunk_keys[i], TileKey):

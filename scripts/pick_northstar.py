@@ -8,12 +8,19 @@ semantics: /root/reference/infer_effocr_onnx_multi.py:394-395).
 
 Selection rule (the coupled north-star, BASELINE.json):
   1. among results with CER <= CER_BUDGET (the round-2 trained-artifact
-     CER, 0.0593), take the highest lines/s/chip;
+     CER, 0.0593), take the highest **worst-weather** lines/s/chip —
+     multi-session rows (scripts/bench_sessions.py aggregates, carrying
+     "min"/"sessions") score by their MIN across separate invocations;
+     single-session rows score by their value.  Round-4 verdict weak
+     #1/#7: between-session relay variance spans -42% from a best-case
+     pin, so pinning on a single session's median selects for weather.
   2. if none pass the CER budget, take the lowest-CER result instead
      (never pin a config that trades away the accuracy half).
 
 The pinned flags are exactly the measured winner's — nothing is appended,
-so the driver's rerun reproduces the recorded row.
+so the driver's rerun reproduces the recorded row.  The pinned spec also
+carries the observed "band" {min, median, max, sessions} so bench.py can
+echo it into the driver's BENCH_r{N}.json.
 """
 
 import glob
@@ -64,9 +71,14 @@ def main():
         print("no trained sweep results found; leaving BENCH_TRAINED.json")
         return 1
 
+    def score(r):
+        # worst observed session; single-session rows fall back to their
+        # (one) median value
+        return r.get("min", r["value"])
+
     passing = [r for r in results if r["cer"] <= CER_BUDGET]
     if passing:
-        winner = max(passing, key=lambda r: r["value"])
+        winner = max(passing, key=score)
     else:
         winner = min(results, key=lambda r: r["cer"])
 
@@ -83,14 +95,20 @@ def main():
         print(f"winner artifacts missing: {missing}; not pinning")
         return 1
 
+    if "sessions" in winner:
+        headline = (f"median {winner['value']} [{winner['min']}-"
+                    f"{winner['max']}] lines/s/chip over "
+                    f"{len(winner['sessions'])} separate sessions")
+    else:
+        headline = f"{winner['value']} lines/s/chip (single session)"
     spec = {
         "comment": (
             "Coupled north-star spec (auto-pinned by scripts/pick_northstar.py"
             f" from {os.path.basename(winner['_path'])}: "
-            f"{winner['value']} lines/s/chip @ CER {winner['cer']:.4f}). "
-            "bench.py run_trained reports lines/s/chip AND CER from the same "
-            "invocation; falls back to the synthetic config when the host "
-            "artifacts are absent."
+            f"{headline} @ CER {winner['cer']:.4f}; pinned on worst-of-N "
+            "sessions). bench.py run_trained reports lines/s/chip AND CER "
+            "from the same invocation; falls back to the synthetic config "
+            "when the host artifacts are absent."
         ),
         "image_dir": os.path.join(
             os.path.dirname(winner["corpus"]), "images"
@@ -100,6 +118,12 @@ def main():
         "artifacts": artifacts,
         "flags": flags,
     }
+    if "sessions" in winner:
+        spec["band"] = {
+            "median": winner["value"], "min": winner["min"],
+            "max": winner["max"], "sessions": winner["sessions"],
+            "protocol": winner.get("protocol", ""),
+        }
     out_path = os.path.join(REPO, "BENCH_TRAINED.json")
     with open(out_path, "w") as f:
         json.dump(spec, f, indent=2)

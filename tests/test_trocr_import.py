@@ -311,3 +311,131 @@ def test_cli_convert_and_evaluate(tmp_path):
     best_cer = finetune(out, str(model_dir), coco, coco, str(img_dir),
                         num_epochs=10, batch=2, lr=5e-3, max_len=8)
     assert best_cer < min(cer, 0.5)
+
+
+# ------------------------------------------------------- fairseq-layout hop
+class _FakeFairseqCfg:
+    """Foreign (non-torch) object inside the checkpoint — the allowlist
+    unpickler must stub it, never import/execute it."""
+
+    def __init__(self):
+        self.arch = "trocr_base"
+
+
+def _hf_sd_to_fairseq(sd, enc_layers=2):
+    """Reverse of fairseq_to_hf_state_dict, for round-trip testing: map an
+    HF VisionEncoderDecoderModel state dict back into the raw fairseq/unilm
+    layout (the input of the reference's converter,
+    scripts/trocr_fairseq_to_pytorch_chkpt.py:28-87)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("encoder.pooler."):
+            continue
+        if k.startswith("encoder.encoder.layer."):
+            parts = k.split(".")
+            i, rest, wb = parts[3], ".".join(parts[4:-1]), parts[-1]
+            base = f"encoder.deit.blocks.{i}"
+            if rest in ("attention.attention.query", "attention.attention.key",
+                        "attention.attention.value"):
+                continue  # merged below
+            m = {"attention.output.dense": "attn.proj",
+                 "layernorm_before": "norm1", "layernorm_after": "norm2",
+                 "intermediate.dense": "mlp.fc1", "output.dense": "mlp.fc2"}
+            out[f"{base}.{m[rest]}.{wb}"] = v
+        elif k == "encoder.embeddings.cls_token":
+            out["encoder.deit.cls_token"] = v
+        elif k == "encoder.embeddings.position_embeddings":
+            out["encoder.deit.pos_embed"] = v
+        elif k.startswith("encoder.embeddings.patch_embeddings.projection."):
+            out[k.replace("encoder.embeddings.patch_embeddings.projection.",
+                          "encoder.deit.patch_embed.proj.")] = v
+        elif k.startswith("encoder.layernorm."):
+            out[k.replace("encoder.layernorm.", "encoder.deit.norm.")] = v
+        elif k.startswith("decoder.model."):
+            out[k[len("decoder.model."):]] = v
+        else:
+            out[k] = v
+    for i in range(enc_layers):
+        base_hf = f"encoder.encoder.layer.{i}.attention.attention"
+        for wb in ("weight", "bias"):
+            q = sd.get(f"{base_hf}.query.{wb}")
+            if q is None:
+                continue
+            kk = sd[f"{base_hf}.key.{wb}"]
+            vv = sd[f"{base_hf}.value.{wb}"]
+            out[f"encoder.deit.blocks.{i}.attn.qkv.{wb}"] = np.concatenate(
+                [q, kk, vv], axis=0)
+    # junk the reference's converter explicitly deletes
+    out["decoder.version"] = np.asarray([3.0], np.float32)
+    h = sd["encoder.layernorm.weight"].shape[0]
+    out["encoder.deit.head.weight"] = np.zeros((7, h), np.float32)
+    out["encoder.deit.head.bias"] = np.zeros((7,), np.float32)
+    return out
+
+
+def test_fairseq_hop_roundtrip_parity():
+    """fairseq-layout -> hop -> HF-layout -> JAX matches the HF model's
+    teacher-forced logits exactly (the qkv split + renames are lossless)."""
+    from effocr_tpu.baselines.trocr_import import fairseq_to_hf_state_dict
+
+    model, config = _make_hf_model()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    fs = _hf_sd_to_fairseq(sd)
+    hf2 = fairseq_to_hf_state_dict(fs)
+
+    spec = spec_from_state_dict(hf2, config)
+    params = convert_state_dict(hf2, spec)
+    rng = np.random.default_rng(0)
+    pix = rng.normal(size=(2, spec.image_size, spec.image_size, 3)).astype(
+        np.float32)
+    ids = rng.integers(3, spec.vocab_size, size=(2, 7)).astype(np.int64)
+    with torch.no_grad():
+        ref = model(
+            pixel_values=torch.from_numpy(pix).permute(0, 3, 1, 2),
+            decoder_input_ids=torch.from_numpy(ids),
+        ).logits.numpy()
+    got = np.asarray(trocr_forward(params, spec, pix, ids.astype(np.int32)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fairseq_checkpoint_end_to_end(tmp_path):
+    """A synthetic fairseq-layout .pt checkpoint (with non-tensor cfg junk,
+    as real fairseq checkpoints carry) converts end-to-end through
+    import_fairseq_checkpoint — no fairseq install, allowlist unpickler."""
+    from effocr_tpu.baselines.trocr_import import import_fairseq_checkpoint
+
+    # decoder flags must match the hop's hard-coded reference config
+    # (relu + scale_embedding, trocr_fairseq_to_pytorch_chkpt.py:270,326)
+    model, config = _make_hf_model()
+    model.config.decoder.activation_function = "relu"
+    model.config.decoder.scale_embedding = True
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    fs = {k: torch.from_numpy(np.asarray(v))
+          for k, v in _hf_sd_to_fairseq(sd).items()}
+
+    path = str(tmp_path / "fairseq_trocr.pt")
+    torch.save({"model": fs, "cfg": _FakeFairseqCfg(), "args": None}, path)
+    params, spec = import_fairseq_checkpoint(path)
+    assert spec.enc_layers == 2 and spec.dec_layers == 2
+    assert spec.activation == "relu" and spec.scale_embedding
+
+    pix = np.zeros((1, spec.image_size, spec.image_size, 3), np.float32)
+    ids = np.asarray([[1, 4, 5]], np.int32)
+    logits = np.asarray(trocr_forward(params, spec, pix, ids))
+    assert logits.shape == (1, 3, spec.vocab_size)
+    assert np.isfinite(logits).all()
+
+
+def test_fairseq_sinusoidal_table():
+    """Materialized sinusoidal positions: fairseq semantics (padding row 1
+    zeroed, half sin / half cos layout)."""
+    from effocr_tpu.baselines.trocr_import import _fairseq_sinusoidal
+
+    t = _fairseq_sinusoidal(10, 8)
+    assert t.shape == (10, 8)
+    assert np.all(t[1] == 0.0)                       # padding_idx zeroed
+    np.testing.assert_allclose(t[0, :4], 0.0)        # sin(0) = 0
+    np.testing.assert_allclose(t[0, 4:], 1.0)        # cos(0) = 1
+    import math as _m
+    np.testing.assert_allclose(t[3, 0], _m.sin(3.0), rtol=1e-6)
+    np.testing.assert_allclose(t[3, 4], _m.cos(3.0), rtol=1e-6)
