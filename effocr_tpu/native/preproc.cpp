@@ -218,28 +218,77 @@ inline uint8_t paeth(int a, int b, int c) {
 
 // Reconstruct one filtered row (PNG filter types 0-4) into dst.
 // prev is the reconstructed row above (nullptr for the first row).
+//
+// bpp==3 (RGB, the corpus-dominant layout) takes specialized loops: the
+// serial left-neighbor dependency chains of Sub/Average/Paeth are
+// per-CHANNEL independent, so three running accumulators turn a
+// 1-byte/iteration dependency walk into 3-way ILP — the decode wall on
+// the 1-core bench host is this loop, not the (libdeflate) inflate.
 inline bool unfilter_row(int filter, const uint8_t* src, uint8_t* dst,
                          const uint8_t* prev, size_t stride, int bpp) {
+  const bool rgb = bpp == 3 && stride % 3 == 0;
   switch (filter) {
     case 0:
       std::memcpy(dst, src, stride);
       return true;
-    case 1:  // Sub
+    case 1: {  // Sub
+      if (rgb && stride >= 3) {
+        uint8_t a0 = src[0], a1 = src[1], a2 = src[2];
+        dst[0] = a0; dst[1] = a1; dst[2] = a2;
+        for (size_t i = 3; i < stride; i += 3) {
+          a0 = static_cast<uint8_t>(a0 + src[i]);
+          a1 = static_cast<uint8_t>(a1 + src[i + 1]);
+          a2 = static_cast<uint8_t>(a2 + src[i + 2]);
+          dst[i] = a0; dst[i + 1] = a1; dst[i + 2] = a2;
+        }
+        return true;
+      }
       std::memcpy(dst, src, std::min<size_t>(bpp, stride));
       for (size_t i = bpp; i < stride; ++i) dst[i] = src[i] + dst[i - bpp];
       return true;
-    case 2:  // Up
+    }
+    case 2:  // Up — no left dependency; auto-vectorizes
       if (!prev) { std::memcpy(dst, src, stride); return true; }
       for (size_t i = 0; i < stride; ++i) dst[i] = src[i] + prev[i];
       return true;
-    case 3:  // Average
+    case 3: {  // Average
+      if (rgb) {
+        int a0 = 0, a1 = 0, a2 = 0;
+        for (size_t i = 0; i < stride; i += 3) {
+          const int b0 = prev ? prev[i] : 0;
+          const int b1 = prev ? prev[i + 1] : 0;
+          const int b2 = prev ? prev[i + 2] : 0;
+          a0 = static_cast<uint8_t>(src[i] + ((a0 + b0) >> 1));
+          a1 = static_cast<uint8_t>(src[i + 1] + ((a1 + b1) >> 1));
+          a2 = static_cast<uint8_t>(src[i + 2] + ((a2 + b2) >> 1));
+          dst[i] = static_cast<uint8_t>(a0);
+          dst[i + 1] = static_cast<uint8_t>(a1);
+          dst[i + 2] = static_cast<uint8_t>(a2);
+        }
+        return true;
+      }
       for (size_t i = 0; i < stride; ++i) {
         const int a = i >= static_cast<size_t>(bpp) ? dst[i - bpp] : 0;
         const int b = prev ? prev[i] : 0;
         dst[i] = static_cast<uint8_t>(src[i] + ((a + b) >> 1));
       }
       return true;
-    case 4:  // Paeth
+    }
+    case 4: {  // Paeth
+      if (rgb && prev) {
+        int a0 = 0, a1 = 0, a2 = 0, c0 = 0, c1 = 0, c2 = 0;
+        for (size_t i = 0; i < stride; i += 3) {
+          const int b0 = prev[i], b1 = prev[i + 1], b2 = prev[i + 2];
+          a0 = static_cast<uint8_t>(src[i] + paeth(a0, b0, c0));
+          a1 = static_cast<uint8_t>(src[i + 1] + paeth(a1, b1, c1));
+          a2 = static_cast<uint8_t>(src[i + 2] + paeth(a2, b2, c2));
+          dst[i] = static_cast<uint8_t>(a0);
+          dst[i + 1] = static_cast<uint8_t>(a1);
+          dst[i + 2] = static_cast<uint8_t>(a2);
+          c0 = b0; c1 = b1; c2 = b2;
+        }
+        return true;
+      }
       for (size_t i = 0; i < stride; ++i) {
         const int a = i >= static_cast<size_t>(bpp) ? dst[i - bpp] : 0;
         const int b = prev ? prev[i] : 0;
@@ -248,6 +297,7 @@ inline bool unfilter_row(int filter, const uint8_t* src, uint8_t* dst,
         dst[i] = static_cast<uint8_t>(src[i] + paeth(a, b, c));
       }
       return true;
+    }
     default:
       return false;
   }
