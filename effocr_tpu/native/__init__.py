@@ -16,6 +16,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "preproc.cpp")
+_HDRS = [os.path.join(_HERE, "inflate.h")]
 _LIB = os.path.join(_HERE, "libpreproc.so")
 
 _lib = None
@@ -23,7 +24,9 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+    src_mtime = max(os.path.getmtime(p) for p in [_SRC] + _HDRS
+                    if os.path.exists(p))
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
         return _LIB
     # -ffp-contract=off: the resize keeps explicit mul+add float math so
     # the AVX2 lanes and their scalar tails round identically (an FMA

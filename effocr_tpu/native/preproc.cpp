@@ -21,6 +21,8 @@
 #include <thread>
 #include <vector>
 
+#include "inflate.h"
+
 #ifdef USE_LIBDEFLATE
 #include <libdeflate.h>
 #else
@@ -311,12 +313,18 @@ inline uint32_t be32(const uint8_t* p) {
 
 const uint8_t kPngSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
 
-// Decode one PNG file into out ([expect_h, expect_w, out_channels] u8).
-// RGB -> 1-channel output uses the truncating channel mean ((r+g+b)/3,
-// numpy .mean(-1).astype(uint8) semantics — matches letterbox_gray_batch);
-// gray -> 3-channel replicates.  Returns 0 on success.
-int decode_png_one(const char* path, uint8_t* out, int out_channels,
-                   int expect_h, int expect_w) {
+// Parsed-but-not-inflated PNG: header fields + concatenated IDAT.
+struct PngParsed {
+  std::vector<uint8_t> idat;
+  int w = 0, h = 0, src_ch = 0;
+  size_t raw_size() const {
+    return (static_cast<size_t>(w) * src_ch + 1) * h;
+  }
+};
+
+// Read + chunk-walk one PNG; 0 on success (fast path: 8-bit gray/RGB,
+// non-interlaced), else the decode_png_one error code.
+int parse_png(const char* path, int expect_h, int expect_w, PngParsed& pf) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
   std::fseek(f, 0, SEEK_END);
@@ -330,7 +338,7 @@ int decode_png_one(const char* path, uint8_t* out, int out_channels,
     return 2;
 
   int w = 0, h = 0, bit_depth = 0, color_type = 0, interlace = 0;
-  std::vector<uint8_t> idat;
+  pf.idat.clear();
   size_t i = 8;
   bool saw_ihdr = false;
   while (i + 12 <= data.size()) {
@@ -347,24 +355,46 @@ int decode_png_one(const char* path, uint8_t* out, int out_channels,
       interlace = body[12];
       saw_ihdr = true;
     } else if (std::memcmp(typ, "IDAT", 4) == 0) {
-      idat.insert(idat.end(), body, body + len);
+      pf.idat.insert(pf.idat.end(), body, body + len);
     } else if (std::memcmp(typ, "IEND", 4) == 0) {
       break;
     }
     i += 12 + static_cast<size_t>(len);
   }
-  if (!saw_ihdr || idat.empty()) return 6;
+  if (!saw_ihdr || pf.idat.empty()) return 6;
   if (bit_depth != 8 || (color_type != 0 && color_type != 2) ||
       interlace != 0)
     return 3;
   if (w != expect_w || h != expect_h || w <= 0 || h <= 0) return 4;
+  pf.w = w;
+  pf.h = h;
+  pf.src_ch = color_type == 2 ? 3 : 1;
+  return 0;
+}
 
-  const int src_ch = color_type == 2 ? 3 : 1;
-  const size_t stride = static_cast<size_t>(w) * src_ch;
-  std::vector<uint8_t> raw((stride + 1) * h);
-  if (!zlib_inflate_buf(idat.data(), idat.size(), raw.data(), raw.size()))
+// Unfilter + channel-convert an inflated raw buffer into out.
+int unfilter_convert(const std::vector<uint8_t>& raw, int w, int h,
+                     int src_ch, uint8_t* out, int out_channels);
+
+// Decode one PNG file into out ([expect_h, expect_w, out_channels] u8).
+// RGB -> 1-channel output uses the truncating channel mean ((r+g+b)/3,
+// numpy .mean(-1).astype(uint8) semantics — matches letterbox_gray_batch);
+// gray -> 3-channel replicates.  Returns 0 on success.
+int decode_png_one(const char* path, uint8_t* out, int out_channels,
+                   int expect_h, int expect_w) {
+  PngParsed pf;
+  const int rc = parse_png(path, expect_h, expect_w, pf);
+  if (rc != 0) return rc;
+  std::vector<uint8_t> raw(pf.raw_size());
+  if (!zlib_inflate_buf(pf.idat.data(), pf.idat.size(), raw.data(),
+                        raw.size()))
     return 5;
+  return unfilter_convert(raw, pf.w, pf.h, pf.src_ch, out, out_channels);
+}
 
+int unfilter_convert(const std::vector<uint8_t>& raw, int w, int h,
+                     int src_ch, uint8_t* out, int out_channels) {
+  const size_t stride = static_cast<size_t>(w) * src_ch;
   if (src_ch == out_channels) {
     // reconstruct straight into the output — rows are contiguous
     const uint8_t* prev = nullptr;
@@ -401,6 +431,62 @@ int decode_png_one(const char* path, uint8_t* out, int out_channels,
   return 0;
 }
 
+// EFFOCR_FAST_INFLATE=0 disables the first-party interleaved inflater
+// (falls back to libdeflate/zlib for every stream).
+bool fast_inflate_enabled() {
+  static const bool on = [] {
+    const char* v = std::getenv("EFFOCR_FAST_INFLATE");
+    return !(v && v[0] == '0');
+  }();
+  return on;
+}
+
+// Decode one or two PNGs; when both parse on the native fast path their
+// zlib streams inflate INTERLEAVED in one thread (inflate.h
+// zlib_inflate_pair) — two independent Huffman dependency chains fill
+// each other's L1 load-latency bubbles, the single biggest host-CPU
+// cost on the 1-core inference host.  Any nonzero fast-inflate rc falls
+// back to the libdeflate/zlib path for that stream, so results are
+// always identical to decode_png_one.
+void decode_png_pair(const char* path_a, uint8_t* out_a, int oc_a, int eh_a,
+                     int ew_a, int* st_a, const char* path_b, uint8_t* out_b,
+                     int oc_b, int eh_b, int ew_b, int* st_b) {
+  PngParsed a, b;
+  int ra = parse_png(path_a, eh_a, ew_a, a);
+  int rb = path_b ? parse_png(path_b, eh_b, ew_b, b) : 1;
+  std::vector<uint8_t> raw_a, raw_b;
+  if (ra == 0) raw_a.resize(a.raw_size());
+  if (rb == 0) raw_b.resize(b.raw_size());
+
+  if (ra == 0 && rb == 0 && fast_inflate_enabled()) {
+    int ia = 1, ib = 1;
+    fastinf::zlib_inflate_pair(a.idat.data(), a.idat.size(), raw_a.data(),
+                               raw_a.size(), b.idat.data(), b.idat.size(),
+                               raw_b.data(), raw_b.size(), &ia, &ib);
+    if (ia != 0 && !zlib_inflate_buf(a.idat.data(), a.idat.size(),
+                                     raw_a.data(), raw_a.size()))
+      ra = 5;
+    if (ib != 0 && !zlib_inflate_buf(b.idat.data(), b.idat.size(),
+                                     raw_b.data(), raw_b.size()))
+      rb = 5;
+  } else {
+    if (ra == 0 && !zlib_inflate_buf(a.idat.data(), a.idat.size(),
+                                     raw_a.data(), raw_a.size()))
+      ra = 5;
+    if (rb == 0 && !zlib_inflate_buf(b.idat.data(), b.idat.size(),
+                                     raw_b.data(), raw_b.size()))
+      rb = 5;
+  }
+  if (ra == 0)
+    ra = unfilter_convert(raw_a, a.w, a.h, a.src_ch, out_a, oc_a);
+  *st_a = ra;
+  if (path_b) {
+    if (rb == 0)
+      rb = unfilter_convert(raw_b, b.w, b.h, b.src_ch, out_b, oc_b);
+    *st_b = rb;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -413,9 +499,17 @@ void decode_png_batch(const char** paths, int n, uint8_t** outs,
                       const int* hs, const int* ws,
                       const int* out_channels, int num_threads,
                       int* status) {
-  parallel_for(n, num_threads, [&](int i) {
-    status[i] = decode_png_one(paths[i], outs[i], out_channels[i], hs[i],
-                               ws[i]);
+  // pair granularity: each task decodes two images with the interleaved
+  // inflater (composes with thread parallelism on multi-core hosts)
+  const int npairs = (n + 1) / 2;
+  parallel_for(npairs, num_threads, [&](int j) {
+    const int i = 2 * j;
+    const bool two = i + 1 < n;
+    decode_png_pair(paths[i], outs[i], out_channels[i], hs[i], ws[i],
+                    &status[i], two ? paths[i + 1] : nullptr,
+                    two ? outs[i + 1] : nullptr,
+                    two ? out_channels[i + 1] : 0, two ? hs[i + 1] : 0,
+                    two ? ws[i + 1] : 0, two ? &status[i + 1] : nullptr);
   });
 }
 
@@ -593,13 +687,27 @@ void decode_letterbox_gray_batch(const char** paths, const int* hs,
                                  int* status) {
   const size_t plane =
       static_cast<size_t>(out_h) * (out_w * pack_bits / 8);
-  parallel_for(n, num_threads, [&](int i) {
-    const int h = hs[i], w = ws[i];
-    std::vector<uint8_t> gray(static_cast<size_t>(h) * w);
-    status[i] = decode_png_one(paths[i], gray.data(), 1, h, w);
-    if (status[i] != 0) return;
-    letterbox_gray_one(gray.data(), h, w, out_h, out_w, pack_bits, pad_val,
-                       out + i * plane, &ratios[i], &tops[i], &lefts[i]);
+  const int npairs = (n + 1) / 2;
+  parallel_for(npairs, num_threads, [&](int j) {
+    const int i = 2 * j;
+    const bool two = i + 1 < n;
+    std::vector<uint8_t> gray_a(static_cast<size_t>(hs[i]) * ws[i]);
+    std::vector<uint8_t> gray_b(
+        two ? static_cast<size_t>(hs[i + 1]) * ws[i + 1] : 0);
+    decode_png_pair(paths[i], gray_a.data(), 1, hs[i], ws[i], &status[i],
+                    two ? paths[i + 1] : nullptr,
+                    two ? gray_b.data() : nullptr, 1, two ? hs[i + 1] : 0,
+                    two ? ws[i + 1] : 0, two ? &status[i + 1] : nullptr);
+    if (status[i] == 0) {
+      letterbox_gray_one(gray_a.data(), hs[i], ws[i], out_h, out_w,
+                         pack_bits, pad_val, out + i * plane, &ratios[i],
+                         &tops[i], &lefts[i]);
+    }
+    if (two && status[i + 1] == 0) {
+      letterbox_gray_one(gray_b.data(), hs[i + 1], ws[i + 1], out_h, out_w,
+                         pack_bits, pad_val, out + (i + 1) * plane,
+                         &ratios[i + 1], &tops[i + 1], &lefts[i + 1]);
+    }
   });
 }
 

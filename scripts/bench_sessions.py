@@ -46,10 +46,14 @@ def run_one(spec_path, env_extra=None):
     env.setdefault("PYTHONPATH", f"{REPO}:/root/.axon_site")
     if env_extra:
         env.update(env_extra)
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"# session timed out (3600s): {spec_path}\n")
+        return None
     row = None
     for line in proc.stdout.splitlines():
         if line.startswith("{"):
@@ -92,6 +96,20 @@ def main():
                         "(lets the relay/link state decorrelate)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
+
+    # one measuring process per machine: overlapping benchers share the
+    # chip and invalidate each other's numbers (round-5 postmortem — an
+    # orphaned stage survived its chain's death and double-booked the
+    # device).  flock is robust to crashes: the lock dies with us.
+    import fcntl
+
+    lock = open("/tmp/effocr_bench_sessions.lock", "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print("another bench_sessions holds the device lock; refusing to "
+              "double-book the chip", file=sys.stderr)
+        return 2
 
     names = [os.path.splitext(os.path.basename(s))[0] for s in args.specs]
     rows = {n: [] for n in names}
