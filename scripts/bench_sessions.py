@@ -40,19 +40,44 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def device_up(timeout_s=150.0):
+    """Cheap pre-flight: can a fresh client enumerate the TPU right now?
+    Relay outages freeze new clients indefinitely — probing first turns
+    a 30-minute hung attempt into a 2.5-minute skip."""
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", f"{REPO}:/root/.axon_site")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('up')"],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "up" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_one(spec_path, env_extra=None):
+    if not device_up():
+        sys.stderr.write("# device probe failed (relay outage?); "
+                         "skipping attempt\n")
+        return None
     env = dict(os.environ)
     env["BENCH_TRAINED_SPEC"] = spec_path
     env.setdefault("PYTHONPATH", f"{REPO}:/root/.axon_site")
     if env_extra:
         env.update(env_extra)
+    timeout_s = float(os.environ.get("BENCH_SESSION_TIMEOUT", "1800"))
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600,
+            env=env, capture_output=True, text=True, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired:
-        sys.stderr.write(f"# session timed out (3600s): {spec_path}\n")
+        # relay outages freeze clients mid-init for tens of minutes;
+        # recycle and retry — compile progress persists in the XLA cache
+        sys.stderr.write(f"# session timed out ({timeout_s:.0f}s): "
+                         f"{spec_path}\n")
         return None
     row = None
     for line in proc.stdout.splitlines():
@@ -114,8 +139,16 @@ def main():
     names = [os.path.splitext(os.path.basename(s))[0] for s in args.specs]
     rows = {n: [] for n in names}
     first = True
-    for si in range(args.sessions):
+    # keep attempting interleaved rounds until every config has its M
+    # successful sessions (relay outages cost attempts, not sessions),
+    # bounded so a dead relay cannot spin forever
+    max_rounds = args.sessions * 3 + 2
+    for si in range(max_rounds):
+        if all(len(rows[n]) >= args.sessions for n in names):
+            break
         for name, spec in zip(names, args.specs):
+            if len(rows[name]) >= args.sessions:
+                continue
             if not first:
                 time.sleep(args.gap)
             first = False
@@ -123,16 +156,18 @@ def main():
             row = run_one(spec)
             dt = time.time() - t0
             if row is None:
+                print(f"# [{time.strftime('%H:%M:%S')}] {name} attempt "
+                      f"failed after {dt:.0f}s (relay?)", flush=True)
                 continue
-            row["session"] = si
+            row["session"] = len(rows[name])
             row["wall_s"] = round(dt, 1)
             rows[name].append(row)
             with open(os.path.join(args.out, f"{name}.sessions.jsonl"),
                       "a") as f:
                 f.write(json.dumps(row) + "\n")
-            print(f"# [{time.strftime('%H:%M:%S')}] {name} session {si}: "
-                  f"{row['value']} lines/s/chip (cer={row.get('cer')})",
-                  flush=True)
+            print(f"# [{time.strftime('%H:%M:%S')}] {name} session "
+                  f"{row['session']}: {row['value']} lines/s/chip "
+                  f"(cer={row.get('cer')})", flush=True)
 
     for name in names:
         if not rows[name]:
