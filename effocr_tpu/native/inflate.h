@@ -280,6 +280,16 @@ struct InflateStream {
         if (static_cast<size_t>(br.end - br.p) < rest) { state = -1; return; }
         std::memcpy(dst + pos + got, br.p, rest);
         br.p += rest;
+        if (rest > 0) {
+          // p jumped without flowing through the bit buffer: the
+          // speculative duplicate byte a refill may have left above
+          // bitcnt now mirrors the OLD position — clear it, or the next
+          // refill ORs fresh bits over stale ones.  (rest > 0 implies
+          // the drain emptied the buffer: bitcnt == 0, only garbage
+          // above it.)
+          br.bitbuf = 0;
+          br.bitcnt = 0;
+        }
         pos += len;
         if (bfinal) state = 2;
         continue;

@@ -741,4 +741,18 @@ void crop_square_batch(const uint8_t** imgs, const int* hs, const int* ws,
   });
 }
 
+// Test hooks for the first-party inflater (tests/test_inflate.py):
+// exercised directly so malformed-stream behavior is pinned beyond the
+// real-corpus parity tests.
+int fast_zlib_inflate(const uint8_t* src, size_t n, uint8_t* dst,
+                      size_t dst_n) {
+  return fastinf::zlib_inflate(src, n, dst, dst_n);
+}
+
+void fast_zlib_inflate_pair(const uint8_t* sa, size_t na, uint8_t* da,
+                            size_t dna, const uint8_t* sb, size_t nb,
+                            uint8_t* db, size_t dnb, int* ra, int* rb) {
+  fastinf::zlib_inflate_pair(sa, na, da, dna, sb, nb, db, dnb, ra, rb);
+}
+
 }  // extern "C"
