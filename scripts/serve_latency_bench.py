@@ -53,9 +53,11 @@ def main():
     p.add_argument("--n", type=int, default=900,
                    help="requests per load point")
     p.add_argument("--max_latency_ms", type=float, default=50.0)
-    p.add_argument("--batch", type=int, default=0,
-                   help="serving batch size (default: the spec's "
-                        "line_batch — reuses the warm compile cache)")
+    p.add_argument("--batch", type=int, default=64,
+                   help="serving batch size; overrides the spec's "
+                        "--line_batch (the canvas batch dim — a partial "
+                        "flush pays the full line_batch-slot chunk, so "
+                        "latency-oriented serving wants a small one)")
     args = p.parse_args()
 
     from effocr_tpu.cli.infer import add_engine_args, load_engine
@@ -65,11 +67,19 @@ def main():
     enable_persistent_cache()
     with open(args.spec) as f:
         spec = json.load(f)
+    flags = list(spec["flags"])
+    if "--line_batch" in flags:
+        flags[flags.index("--line_batch") + 1] = str(args.batch)
+    else:
+        flags += ["--line_batch", str(args.batch)]
+    # crop capacity scales with the serving batch
+    if "--crop_batch" in flags:
+        flags[flags.index("--crop_batch") + 1] = str(40 * args.batch)
     ep = argparse.ArgumentParser()
     add_engine_args(ep)
-    eargs = ep.parse_args(spec["flags"])
+    eargs = ep.parse_args(flags)
     engine = load_engine(eargs)
-    batch = args.batch or engine.config.line_batch
+    batch = args.batch
 
     from effocr_tpu.data.coco import load_json
 
