@@ -33,7 +33,9 @@ stage fcos_infer out_fcos/metrics.json 3600 \
     --localizer_dir loc2k_fcos --lang en \
     --localizer_conf_thresh 0.3 --localizer_iou_thresh 0.25 \
     --adaptive_height --adaptive_width --chunk_sort width \
-    --line_batch 512 --crop_batch 20480 --max_words 16 \
+    --encoder_sub_batch 2048 --line_batch 512 --crop_batch 20480 \
+    --max_det 96 --max_words 16 --nms_kernel pallas \
+    --transfer_bits 2 --out_quant u16 \
     --save_output out_fcos
 
 stage degraded_gen eval_degraded/jpeg40/corpus.json 3600 \
