@@ -8,13 +8,21 @@ semantics: /root/reference/infer_effocr_onnx_multi.py:394-395).
 
 Selection rule (the coupled north-star, BASELINE.json):
   1. among results with CER <= CER_BUDGET (the round-2 trained-artifact
-     CER, 0.0593), take the highest **worst-weather** lines/s/chip —
-     multi-session rows (scripts/bench_sessions.py aggregates, carrying
-     "min"/"sessions") score by their MIN across separate invocations;
-     single-session rows score by their value.  Round-4 verdict weak
-     #1/#7: between-session relay variance spans -42% from a best-case
-     pin, so pinning on a single session's median selects for weather.
-  2. if none pass the CER budget, take the lowest-CER result instead
+     CER, 0.0593) whose **worst separate session** still clears the
+     TARGET (625 lines/s/chip), pin the most ACCURATE (lowest CER) —
+     once the throughput bar is met at worst weather, the remaining
+     margin should not be bought with accuracy (round-4 verdict weak
+     #3/#6: the 2-bit dither traded 10.7 points of exact-line for 4%
+     of throughput the pin didn't need).  Multi-session rows only
+     (scripts/bench_sessions.py aggregates carrying "min"/"sessions");
+     one sample cannot attest worst weather.
+  2. otherwise take the highest worst-weather lines/s/chip among
+     CER-passing rows (multi-session rows score by their MIN across
+     separate invocations; single-session rows by their value).
+     Round-4 verdict weak #1/#7: between-session relay variance spans
+     -42% from a best-case pin, so pinning on a single session's
+     median selects for weather.
+  3. if none pass the CER budget, take the lowest-CER result instead
      (never pin a config that trades away the accuracy half).
 
 The pinned flags are exactly the measured winner's — nothing is appended,
@@ -29,6 +37,7 @@ import os
 import sys
 
 CER_BUDGET = 0.0593
+TARGET = 5000.0 / 8.0  # per-chip north-star (BASELINE.json)
 # Round-4 sweeps land in sweep_r4; older dirs are still scanned so the
 # best measured config wins regardless of which round produced it.
 SWEEP_DIRS = os.environ.get(
@@ -63,6 +72,22 @@ def flag_value(flags, name):
     return None
 
 
+def select_winner(results):
+    def worst(r):
+        # worst observed session; single-session rows fall back to their
+        # (one) median value
+        return r.get("min", r["value"])
+
+    passing = [r for r in results if r["cer"] <= CER_BUDGET]
+    if not passing:
+        return min(results, key=lambda r: r["cer"])
+    clears = [r for r in passing if "sessions" in r and worst(r) >= TARGET]
+    if clears:
+        # throughput bar met at worst weather -> accuracy decides
+        return min(clears, key=lambda r: r["cer"])
+    return max(passing, key=worst)
+
+
 def main():
     results = []
     for d in SWEEP_DIRS:
@@ -70,17 +95,7 @@ def main():
     if not results:
         print("no trained sweep results found; leaving BENCH_TRAINED.json")
         return 1
-
-    def score(r):
-        # worst observed session; single-session rows fall back to their
-        # (one) median value
-        return r.get("min", r["value"])
-
-    passing = [r for r in results if r["cer"] <= CER_BUDGET]
-    if passing:
-        winner = max(passing, key=score)
-    else:
-        winner = min(results, key=lambda r: r["cer"])
+    winner = select_winner(results)
 
     flags = list(winner["flags"])
     rec_dir = flag_value(flags, "--recognizer_dir")

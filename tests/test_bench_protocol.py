@@ -68,9 +68,40 @@ def test_pick_scores_by_min_not_median(tmp_path, monkeypatch):
             f.write(json.dumps(agg) + "\n")
     results = pick_northstar.load_results(str(tmp_path))
     assert len(results) == 2
-    passing = [r for r in results if r["cer"] <= pick_northstar.CER_BUDGET]
-    winner = max(passing, key=lambda r: r.get("min", r["value"]))
+    winner = pick_northstar.select_winner(results)
     assert winner["value"] == 880.0     # B's median; A's 600 floor loses
+
+
+def test_pick_accuracy_first_once_target_cleared():
+    # Both clear the 625 worst-weather bar -> the MORE ACCURATE config
+    # wins even though it is slower (round-4 verdict #6: don't buy
+    # unneeded throughput margin with exact-line accuracy).
+    fast_dithered = bench_sessions.aggregate(
+        "bits2", [_row(1370.0, cer=0.0195), _row(1200.0, cer=0.0195),
+                  _row(1300.0, cer=0.0195)])
+    accurate = bench_sessions.aggregate(
+        "bits4", [_row(1045.0, cer=0.0132), _row(900.0, cer=0.0132),
+                  _row(980.0, cer=0.0132)])
+    winner = pick_northstar.select_winner([fast_dithered, accurate])
+    assert winner["cer"] == 0.0132
+
+    # ...but if the accurate config's WORST session misses the target,
+    # worst-weather throughput decides again.
+    accurate_slow = bench_sessions.aggregate(
+        "bits4", [_row(1045.0, cer=0.0132), _row(500.0, cer=0.0132)])
+    winner = pick_northstar.select_winner([fast_dithered, accurate_slow])
+    assert winner["cer"] == 0.0195
+
+
+def test_pick_single_session_cannot_enter_accuracy_branch():
+    # a single-session row never attests worst weather: even with a
+    # better CER it must not beat a multi-session row via the
+    # accuracy-first branch
+    single_accurate = _row(1000.0, cer=0.010)
+    multi = bench_sessions.aggregate(
+        "m", [_row(900.0, cer=0.0195), _row(880.0, cer=0.0195)])
+    winner = pick_northstar.select_winner([single_accurate, multi])
+    assert winner["cer"] == 0.0195
 
 
 def test_pick_cer_budget_still_gates(tmp_path):
