@@ -58,6 +58,9 @@ def main():
                         "--line_batch (the canvas batch dim — a partial "
                         "flush pays the full line_batch-slot chunk, so "
                         "latency-oriented serving wants a small one)")
+    p.add_argument("--out", default="",
+                   help="also append JSON rows to this file (stdout can "
+                        "carry engine-load prints)")
     args = p.parse_args()
 
     from effocr_tpu.cli.infer import add_engine_args, load_engine
@@ -73,8 +76,19 @@ def main():
     else:
         flags += ["--line_batch", str(args.batch)]
     # crop capacity scales with the serving batch
+    cb = 40 * args.batch
     if "--crop_batch" in flags:
-        flags[flags.index("--crop_batch") + 1] = str(40 * args.batch)
+        flags[flags.index("--crop_batch") + 1] = str(cb)
+    # the encoder sub-batch must divide the crop capacity (engine
+    # invariant: n_slots % sub == 0); the pinned spec's 2048 does not
+    # divide e.g. 2560, so pick the largest power-of-two divisor <=4096
+    # (falling back to one whole pass)
+    sub = next((d for d in (4096, 2048, 1024, 512, 256)
+                if cb % d == 0), cb)
+    if "--encoder_sub_batch" in flags:
+        flags[flags.index("--encoder_sub_batch") + 1] = str(min(sub, cb))
+    else:
+        flags += ["--encoder_sub_batch", str(min(sub, cb))]
     ep = argparse.ArgumentParser()
     add_engine_args(ep)
     eargs = ep.parse_args(flags)
@@ -118,6 +132,9 @@ def main():
             "max_latency_ms": args.max_latency_ms,
         }
         print(json.dumps(row), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":
